@@ -1,0 +1,373 @@
+"""AL-iLQR (ALTRO-style) trajectory optimiser in pure JAX.
+
+Faithful to the reference solver's semantics (``ALTRO.py:365-488``):
+augmented-Lagrangian outer loop {Riccati backward pass, line-searched forward
+pass, regularisation update, dual/penalty update} with the same masks,
+recurrences, tolerances and update rules — re-architected TPU-first:
+
+  * dynamics Jacobians by forward-mode AD (exact; replaces FD at
+    ``ALTRO.py:77-100``);
+  * all per-knot work (Jacobians, constraint values+gradients, cost
+    expansions) is ``vmap``-batched over the horizon; each batch of collision
+    constraints is ONE fused PDIP solve over (N x n_obs) padded problems;
+  * the Riccati recursion and rollouts are ``lax.scan``; the line search is a
+    ``lax.while_loop``; the outer loop is a ``lax.while_loop`` — the whole
+    solve is a single XLA computation, vmappable over scenarios;
+  * constraint values are cached in the solver state so the line search's
+    "old cost" needs no re-solve (the reference recomputes it every
+    line-search iteration, ``ALTRO.py:215`` — value-identical, wasted PDIPs);
+  * failures (regularisation cap, iteration cap) set flags instead of raising,
+    so batched scenarios degrade per-member (SURVEY.md §5).
+
+Convergence criteria match the reference exactly: feedforward-gain norm
+``kmax < atol`` gates the dual update; ``convio < convio_tol`` (with the
+reference's ``|h| + h`` doubling for inequalities, ``ALTRO.py:453,461``)
+declares convergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dcol_tpu.ops import chol
+
+
+@dataclasses.dataclass(frozen=True)
+class AltroConfig:
+    max_iters: int = 3000
+    max_ls_iters: int = 20
+    atol: float = 1e-2
+    convio_tol: float = 1e-4
+    rho0: float = 1.0
+    phi: float = 10.0
+    reg_min: float = 1e-6
+    reg_max: float = 1e2
+    metrics_len: int = 256  # ring-buffer length for per-iteration metrics
+
+
+class Metrics(NamedTuple):
+    J: jnp.ndarray
+    delta_J: jnp.ndarray
+    kmax: jnp.ndarray
+    alpha: jnp.ndarray
+    reg: jnp.ndarray
+    rho: jnp.ndarray
+    convio: jnp.ndarray
+
+
+class AltroState(NamedTuple):
+    X: jnp.ndarray        # (N, nx)
+    U: jnp.ndarray        # (N-1, nu)
+    mu: jnp.ndarray       # (N-1, ncu) control-constraint duals
+    mux: jnp.ndarray      # (N, ncx) state-constraint duals
+    lambd: jnp.ndarray    # (nx,) goal-constraint duals
+    rho: jnp.ndarray      # AL penalty
+    reg: jnp.ndarray      # Riccati regularisation
+    hx: jnp.ndarray       # (N, ncx) cached constraint values at X
+    hu: jnp.ndarray       # (N-1, ncu) cached control-constraint values at U
+    iter: jnp.ndarray     # int32
+    converged: jnp.ndarray
+    failed: jnp.ndarray
+    J: jnp.ndarray
+    delta_J: jnp.ndarray
+    kmax: jnp.ndarray
+    alpha: jnp.ndarray
+    convio: jnp.ndarray
+    metrics: Metrics
+
+
+def _where(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(jnp.reshape(pred, (1,) * x.ndim), x, y)
+        if x.ndim else jnp.where(pred, x, y), a, b)
+
+
+def eval_mask(mu, h):
+    """AL active mask: active iff the dual is positive or the constraint is
+    violated (ALTRO.py:16-31)."""
+    return ((mu > 0) | (h > 0)).astype(h.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Cost
+# ---------------------------------------------------------------------------
+
+def quad_cost(sys, params, X, U):
+    """Sum of LQR tracking terms (running + terminal), ALTRO.py:148-180."""
+    dX = X - params["Xref"]
+    dU = U - params["Uref"]
+    run_x = 0.5 * jnp.einsum("ti,ij,tj->", dX[:-1], params["Q"], dX[:-1])
+    run_u = 0.5 * jnp.einsum("ti,ij,tj->", dU, params["R"], dU)
+    term = 0.5 * dX[-1] @ params["Qf"] @ dX[-1]
+    return run_x + run_u + term
+
+
+def al_cost(params, X, hx, hu, mu, mux, lambd, rho):
+    """Augmented-Lagrangian penalty terms (ALTRO.py:120-144)."""
+    mask_u = eval_mask(mu, hu)
+    c_u = jnp.sum(mu * hu) + 0.5 * rho * jnp.sum(mask_u * hu * hu)
+    mask_x = eval_mask(mux, hx)
+    c_x = jnp.sum(mux * hx) + 0.5 * rho * jnp.sum(mask_x * hx * hx)
+    dxN = X[-1] - params["Xref"][-1]
+    c_g = lambd @ dxN + 0.5 * rho * dxN @ dxN
+    return c_u + c_x + c_g
+
+
+def total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho):
+    return quad_cost(sys, params, X, U) + al_cost(
+        params, X, hx, hu, mu, mux, lambd, rho)
+
+
+def eval_constraints(sys, params, X, U):
+    """(hx (N, ncx), hu (N-1, ncu)); the hx batch is one fused PDIP solve."""
+    hx = jax.vmap(lambda x: sys.constraints_x(params, x))(X)
+    hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
+    return hx, hu
+
+
+# ---------------------------------------------------------------------------
+# Backward pass (Riccati recursion with AL terms), ALTRO.py:242-338
+# ---------------------------------------------------------------------------
+
+def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg):
+    N = sys.N
+    nx, nu = sys.nx, sys.nu
+    dt = X.dtype
+    Q, R, Qf = params["Q"], params["R"], params["Qf"]
+
+    ks = jnp.arange(N - 1)
+    A, B = jax.vmap(lambda x, u, k: sys.dynamics_jacobians(params, x, u, k))(
+        X[:-1], U, ks)
+
+    # fused constraint values + gradients over the whole horizon
+    hx, gx = jax.vmap(lambda x: sys.constraints_x_vg(params, x))(X)
+    hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
+    gu = jax.vmap(lambda u: sys.constraints_u_grad(params, u))(U)
+
+    mask_x = eval_mask(mux, hx)                      # (N, ncx)
+    mask_u = eval_mask(mu, hu)                       # (N-1, ncu)
+
+    dX = X - params["Xref"]
+    l_x = jnp.einsum("ij,tj->ti", Q, dX[:-1]) + jnp.einsum(
+        "tci,tc->ti", gx[:-1], mux[:-1] + rho * mask_x[:-1] * hx[:-1])
+    l_xx = Q[None] + rho * jnp.einsum(
+        "tci,tc,tcj->tij", gx[:-1], mask_x[:-1], gx[:-1])
+    dU = U - params["Uref"]
+    l_u = jnp.einsum("ij,tj->ti", R, dU) + jnp.einsum(
+        "tci,tc->ti", gu, mu + rho * mask_u * hu)
+    l_uu = R[None] + rho * jnp.einsum("tci,tc,tcj->tij", gu, mask_u, gu)
+
+    # terminal value function incl. AL state + goal terms (ALTRO.py:267-287)
+    Vx_N = (Qf @ dX[-1]
+            + gx[-1].T @ (mux[-1] + rho * mask_x[-1] * hx[-1])
+            + lambd + rho * dX[-1])
+    Vxx_N = (Qf + rho * jnp.einsum("ci,c,cj->ij", gx[-1], mask_x[-1], gx[-1])
+             + rho * jnp.eye(nx, dtype=dt))
+
+    I_nx = jnp.eye(nx, dtype=dt)
+
+    def step(carry, inp):
+        Vx, Vxx, dJ = carry
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t = inp
+        Vxx_r = Vxx + reg * I_nx
+        Qx = lx_t + A_t.T @ Vx
+        Qu = lu_t + B_t.T @ Vx
+        Quu = luu_t + B_t.T @ Vxx_r @ B_t
+        Qux = B_t.T @ Vxx_r @ A_t
+        L = chol.chol_factor(Quu)
+        k_t = chol.chol_solve(L, Qu)
+        K_t = chol.chol_solve(L, Qux.T).T  # broadcast solve over nx columns
+        Abar = A_t - B_t @ K_t
+        Vxx_new = lxx_t + K_t.T @ luu_t @ K_t + Abar.T @ Vxx @ Abar
+        Vx_new = (lx_t - K_t.T @ lu_t + K_t.T @ luu_t @ k_t
+                  + Abar.T @ (Vx - Vxx @ (B_t @ k_t)))
+        dJ = dJ + Qu @ k_t
+        return (Vx_new, Vxx_new, dJ), (K_t, k_t)
+
+    inputs = (A, B, l_x, l_u, l_xx, l_uu)
+    (Vx0, Vxx0, delta_J), (K, k) = jax.lax.scan(
+        step, (Vx_N, Vxx_N, jnp.zeros((), dt)), inputs, reverse=True)
+    kmax = jnp.max(jnp.linalg.norm(k, axis=-1))  # ALTRO.py:34-48
+    return K, k, delta_J, kmax
+
+
+# ---------------------------------------------------------------------------
+# Forward pass (backtracking line search), ALTRO.py:183-239
+# ---------------------------------------------------------------------------
+
+def rollout(sys, params, X, U, K, k, alpha):
+    ks = jnp.arange(sys.N - 1)
+
+    def step(x, inp):
+        X_t, U_t, K_t, k_t, t = inp
+        u = U_t - K_t @ (x - X_t) - alpha * k_t
+        x_next = sys.discrete_dynamics(params, x, u, t)
+        return x_next, (x, u)
+
+    xN, (Xs, Un) = jax.lax.scan(step, X[0], (X[:-1], U, K, k, ks))
+    Xn = jnp.concatenate([Xs, xN[None]], axis=0)
+    return Xn, Un
+
+
+def initial_rollout(sys, params, x0, U):
+    def step(x, inp):
+        u, t = inp
+        return sys.discrete_dynamics(params, x, u, t), x
+
+    xN, Xs = jax.lax.scan(step, x0, (U, jnp.arange(sys.N - 1)))
+    return jnp.concatenate([Xs, xN[None]], axis=0)
+
+
+def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu):
+    old_cost = total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho)
+    dt = X.dtype
+
+    def attempt(alpha):
+        Xn, Un = rollout(sys, params, X, U, K, k, alpha)
+        hxn, hun = eval_constraints(sys, params, Xn, Un)
+        Jn = total_cost(sys, params, Xn, Un, hxn, hun, mu, mux, lambd, rho)
+        return Xn, Un, hxn, hun, Jn
+
+    def body(carry):
+        i, alpha, _, _, _, _, _, _ = carry
+        Xn, Un, hxn, hun, Jn = attempt(alpha)
+        ok = Jn < old_cost
+        return (i + 1, jnp.where(ok, alpha, alpha * 0.5), ok, Xn, Un,
+                hxn, hun, Jn)
+
+    def cond(carry):
+        i, _, ok, *_ = carry
+        return (i < cfg.max_ls_iters) & ~ok
+
+    init = (jnp.zeros((), jnp.int32), jnp.asarray(1.0, dt),
+            jnp.zeros((), bool), X, U, hx, hu, old_cost)
+    _, alpha, ok, Xn, Un, hxn, hun, Jn = jax.lax.while_loop(cond, body, init)
+
+    # on failure: keep current trajectories, signal alpha = 0 (ALTRO.py:236-239)
+    out = _where(ok, (Xn, Un, hxn, hun, Jn, alpha),
+                 (X, U, hx, hu, old_cost, jnp.zeros((), dt)))
+    return out  # X, U, hx, hu, J, alpha
+
+
+# ---------------------------------------------------------------------------
+# Outer AL iteration
+# ---------------------------------------------------------------------------
+
+def make_initial_state(sys, params, cfg, X0, U0) -> AltroState:
+    dt = jnp.result_type(U0)
+    U = jnp.asarray(U0, dt)
+    X = initial_rollout(sys, params, jnp.asarray(X0[0], dt), U)
+    hx, hu = eval_constraints(sys, params, X, U)
+    mu = jnp.zeros((sys.N - 1, sys.ncu), dt)
+    mux = jnp.zeros((sys.N, sys.ncx), dt)
+    lambd = jnp.zeros((sys.nx,), dt)
+    J0 = total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, cfg.rho0)
+    z = jnp.zeros((), dt)
+    m = Metrics(*(jnp.zeros((cfg.metrics_len,), dt) for _ in range(7)))
+    return AltroState(
+        X=X, U=U, mu=mu, mux=mux, lambd=lambd,
+        rho=jnp.asarray(cfg.rho0, dt), reg=jnp.asarray(cfg.reg_min, dt),
+        hx=hx, hu=hu, iter=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool), failed=jnp.zeros((), bool),
+        J=J0, delta_J=z, kmax=z, alpha=z, convio=z, metrics=m)
+
+
+def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
+    dt = st.X.dtype
+    K, k, delta_J, kmax = backward_pass(
+        sys, params, st.X, st.U, st.mu, st.mux, st.lambd, st.rho, st.reg)
+    X, U, hx, hu, J, alpha = forward_pass(
+        sys, params, cfg, st.X, st.U, K, k, st.mu, st.mux, st.lambd, st.rho,
+        st.hx, st.hu)
+
+    # regularisation update (ALTRO.py:51-74); at-cap failure sets a flag
+    failed = st.failed | ((alpha == 0.0) & (st.reg >= cfg.reg_max))
+    reg = jnp.where(alpha == 0.0, jnp.minimum(cfg.reg_max, st.reg * 10.0),
+                    jnp.where(alpha == 1.0,
+                              jnp.maximum(cfg.reg_min, st.reg / 10.0), st.reg))
+
+    # dual + penalty update, gated on (alpha > 0) & (kmax < atol)
+    # (ALTRO.py:444-481)
+    do_dual = (alpha > 0.0) & (kmax < cfg.atol)
+    mask_u = eval_mask(st.mu, hu)
+    mu_new = jnp.maximum(0.0, st.mu + st.rho * mask_u * hu)
+    convio_u = jnp.max(jnp.abs(hu + jnp.abs(hu)))
+    mask_x = eval_mask(st.mux, hx)
+    mux_new = jnp.maximum(0.0, st.mux + st.rho * mask_x * hx)
+    convio_x = jnp.max(jnp.abs(hx + jnp.abs(hx)))
+    dxN = X[-1] - params["Xref"][-1]
+    lambd_new = st.lambd + st.rho * dxN
+    convio = jnp.maximum(jnp.maximum(convio_u, convio_x),
+                         jnp.max(jnp.abs(dxN)))
+    converged = do_dual & (convio < cfg.convio_tol)
+    rho = jnp.where(do_dual & ~converged, st.rho * cfg.phi, st.rho)
+    mu = jnp.where(do_dual, mu_new, st.mu)
+    mux = jnp.where(do_dual, mux_new, st.mux)
+    lambd = jnp.where(do_dual, lambd_new, st.lambd)
+    convio_out = jnp.where(do_dual, convio, st.convio)
+
+    it = st.iter
+    slot = jnp.minimum(it, cfg.metrics_len - 1)
+    m = st.metrics
+    m = Metrics(
+        J=m.J.at[slot].set(J.astype(dt)),
+        delta_J=m.delta_J.at[slot].set(delta_J.astype(dt)),
+        kmax=m.kmax.at[slot].set(kmax.astype(dt)),
+        alpha=m.alpha.at[slot].set(alpha.astype(dt)),
+        reg=m.reg.at[slot].set(reg.astype(dt)),
+        rho=m.rho.at[slot].set(rho.astype(dt)),
+        convio=m.convio.at[slot].set(convio_out.astype(dt)),
+    )
+    return AltroState(
+        X=X, U=U, mu=mu, mux=mux, lambd=lambd, rho=rho, reg=reg,
+        hx=hx, hu=hu, iter=it + 1, converged=converged, failed=failed,
+        J=J, delta_J=delta_J, kmax=kmax, alpha=alpha, convio=convio_out,
+        metrics=m)
+
+
+@partial(jax.jit, static_argnames=("sys", "cfg"))
+def solve(sys, params, cfg: AltroConfig, X0, U0) -> AltroState:
+    """Full jitted solve: init rollout + while_loop of AL iterations.
+    vmap over (params, X0, U0) for scenario batches — per-scenario
+    convergence freezes members via the active mask."""
+    st0 = make_initial_state(sys, params, cfg, X0, U0)
+
+    def body(st):
+        active = ~(st.converged | st.failed)
+        new = altro_iteration(sys, params, cfg, st)
+        return _where(active, new, st)
+
+    def cond(st):
+        return (st.iter < cfg.max_iters) & ~(st.converged | st.failed)
+
+    return jax.lax.while_loop(cond, body, st0)
+
+
+def solve_verbose(sys, params, cfg: AltroConfig, X0, U0) -> AltroState:
+    """Python-loop variant printing the reference's iteration table
+    (ALTRO.py:437-440)."""
+    step = jax.jit(
+        lambda p, s: altro_iteration(sys, p, cfg, s))
+    st = jax.jit(
+        lambda p, a, b: make_initial_state(sys, p, cfg, a, b))(params, X0, U0)
+    for itr in range(cfg.max_iters):
+        st = step(params, st)
+        if itr % 50 == 0:
+            print("iter     J           dJ        |d|         a        reg"
+                  "         rho")
+            print("-" * 69)
+        print(f"{itr+1:3d}   {float(st.J):10.3e}  {float(st.delta_J):9.2e}"
+              f"  {float(st.kmax):9.2e}  {float(st.alpha):6.4f}"
+              f"   {float(st.reg):9.2e}   {float(st.rho):9.2e}")
+        if bool(st.converged):
+            print(f"Convergence reached in {itr} iterations.")
+            break
+        if bool(st.failed):
+            print("Solve failed (regularization cap reached).")
+            break
+    return st

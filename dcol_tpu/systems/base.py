@@ -1,0 +1,184 @@
+"""System protocol + collision-scene machinery shared by all systems.
+
+The reference couples each system to the solver through a module-level
+duck-typed protocol (``discrete_dynamics``, ``inequality_constraints_*``;
+e.g. ``systems/piano_mover.py:28-127``) plus a mutable params dict.  Here a
+:class:`System` is a *static* object (hashable config + pure functions) and
+all run-time data (references, bounds, obstacle poses) lives in a ``params``
+pytree, so everything jits, differentiates, and batches over scenarios.
+
+Collision constraints: one :class:`CollisionScene` per system holds the robot
+shape, the obstacle shapes, and the unified padded layout.  Per knot point,
+all robot-obstacle pairs are assembled (trace-time loop over the statically
+heterogeneous obstacles) and solved as ONE batched PDIP call; gradients come
+from the envelope theorem in the same pass (fusing the reference's separate
+``inequality_constraints_x`` / ``_x_grad`` solve pairs, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dcol_tpu.geometry import assembly
+from dcol_tpu.geometry.primitives import Shape
+from dcol_tpu.ops.cones import ConeLayout
+from dcol_tpu.ops.pdip import solve_socp
+
+
+@dataclasses.dataclass(frozen=True)
+class ProximityOptions:
+    tol: float = 1e-6        # reference pdip_tol (proximity/proximity.py:6)
+    max_iters: int = 30
+    jitter: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionScene:
+    robot: Shape
+    obstacles: Tuple[Shape, ...]
+    opts: ProximityOptions = ProximityOptions()
+
+    @property
+    def n_obs(self) -> int:
+        return len(self.obstacles)
+
+    @property
+    def dims(self) -> Tuple[int, int]:
+        return assembly.scene_dims(self.robot, self.obstacles)
+
+    @property
+    def cone_layout(self) -> ConeLayout:
+        _, n_ort = self.dims
+        return ConeLayout(n_ort, assembly.S_PAD, assembly.S_PAD)
+
+    def pair_layout(self, i: int):
+        nv, n_ort = self.dims
+        return assembly.make_layout(self.robot, self.obstacles[i], nv, n_ort)
+
+    # -- assembly ---------------------------------------------------------
+    def assemble(self, r, p, obs_r, obs_p):
+        """Stacked padded problems for one robot pose vs all obstacles.
+
+        r, p: (3,) robot pose; obs_r, obs_p: (n_obs, 3).
+        Returns c (n_obs, nv), G (n_obs, nr, nv), h (n_obs, nr).
+        """
+        cs, Gs, hs = [], [], []
+        for i, obs in enumerate(self.obstacles):
+            c, G, h = assembly.assemble_pair(
+                self.robot, obs, self.pair_layout(i), r, p, obs_r[i], obs_p[i])
+            cs.append(c); Gs.append(G); hs.append(h)
+        return jnp.stack(cs), jnp.stack(Gs), jnp.stack(hs)
+
+    # -- proximity values -------------------------------------------------
+    def alphas(self, r, p, obs_r, obs_p):
+        """(n_obs,) proximity alphas for one robot pose (value only)."""
+        c, G, h = self.assemble(r, p, obs_r, obs_p)
+        sol = solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
+                         max_iters=self.opts.max_iters, jitter=self.opts.jitter)
+        return sol.x[..., 3]
+
+    def alphas_and_grads(self, r, p, obs_r, obs_p):
+        """(alphas (n_obs,), d_alpha/dr (n_obs,3), d_alpha/dp (n_obs,3)).
+
+        One solve; gradients via the envelope theorem with the optimal
+        (x*, z*) frozen (proximity_gradient.py:50-88 in the reference).
+        """
+        c, G, h = self.assemble(r, p, obs_r, obs_p)
+        sol = solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
+                         max_iters=self.opts.max_iters, jitter=self.opts.jitter)
+        x = jax.lax.stop_gradient(sol.x)
+        z = jax.lax.stop_gradient(sol.z)
+
+        def lag_vec(r_, p_):
+            _, G_, h_ = self.assemble(r_, p_, obs_r, obs_p)
+            return jnp.sum(z * (jnp.einsum("orv,ov->or", G_, x) - h_), axis=-1)
+
+        d_r, d_p = jax.jacrev(lag_vec, argnums=(0, 1))(r, p)
+        return sol.x[..., 3], d_r, d_p
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    """Static system description.  Subclasses define dynamics and the robot
+    pose extraction; control bounds and collision constraints are shared."""
+
+    nx: int
+    nu: int
+    N: int
+    dt: float
+    scene: CollisionScene
+
+    @property
+    def ncx(self) -> int:
+        return self.scene.n_obs
+
+    @property
+    def ncu(self) -> int:
+        return 2 * self.nu
+
+    # -- dynamics ---------------------------------------------------------
+    def dynamics(self, params, x, u, k):
+        raise NotImplementedError
+
+    def discrete_dynamics(self, params, x, u, k):
+        """RK4, matching the reference integrator exactly
+        (e.g. systems/piano_mover.py:28-47)."""
+        dt = self.dt
+        k1 = dt * self.dynamics(params, x, u, k)
+        k2 = dt * self.dynamics(params, x + 0.5 * k1, u, k)
+        k3 = dt * self.dynamics(params, x + 0.5 * k2, u, k)
+        k4 = dt * self.dynamics(params, x + k3, u, k)
+        return x + (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+
+    def dynamics_jacobians(self, params, x, u, k):
+        """Exact A, B via forward-mode AD (replaces the reference's
+        finite differences, ALTRO.py:77-100)."""
+        return jax.jacfwd(
+            lambda x_, u_: self.discrete_dynamics(params, x_, u_, k),
+            argnums=(0, 1),
+        )(x, u)
+
+    # -- robot pose from state -------------------------------------------
+    def robot_pose(self, x):
+        """(r, p) of the robot primitive for state x."""
+        raise NotImplementedError
+
+    def pose_jacobian_rows(self, x, d_r, d_p):
+        """Map per-obstacle pose gradients to constraint-Jacobian rows
+        d(1 - alpha)/dx, shape (n_obs, nx)."""
+        raise NotImplementedError
+
+    # -- state inequality constraints: h = 1 - alpha ---------------------
+    def constraints_x(self, params, x):
+        r, p = self.robot_pose(x)
+        return 1.0 - self.scene.alphas(r, p, params["obs_r"], params["obs_p"])
+
+    def constraints_x_vg(self, params, x):
+        """(h (ncx,), dh/dx (ncx, nx)) in one fused solve."""
+        r, p = self.robot_pose(x)
+        a, d_r, d_p = self.scene.alphas_and_grads(
+            r, p, params["obs_r"], params["obs_p"])
+        return 1.0 - a, self.pose_jacobian_rows(x, d_r, d_p)
+
+    # -- control bounds ---------------------------------------------------
+    def constraints_u(self, params, u):
+        """[u - u_max; u_min - u] (e.g. piano_mover.py:99-112)."""
+        return jnp.concatenate([u - params["u_max"], params["u_min"] - u])
+
+    def constraints_u_grad(self, params, u):
+        eye = jnp.eye(self.nu, dtype=u.dtype)
+        return jnp.concatenate([eye, -eye], axis=0)
+
+
+def full_pose_jacobian_rows(nx: int, d_r, d_p):
+    """Rows [-d_r, 0_3, -d_p, 0_3] for systems with state [r;v;p;w]
+    (quadrotor/cone, cf. cluttered_hallway_quadrotor.py:159-171)."""
+    n_obs = d_r.shape[0]
+    zeros = jnp.zeros((n_obs, 3), dtype=d_r.dtype)
+    J = jnp.concatenate([-d_r, zeros, -d_p, zeros], axis=1)
+    assert J.shape[1] == nx
+    return J

@@ -1,0 +1,94 @@
+"""Cone-through-wall: a 6-DOF rigid-body cone steered (by a wrench) through
+the square hole of a wall built from four rotated rectangular prisms.
+Mirrors ``systems/cone_through_wall.py`` (dynamics :18-86, constraints
+:88-172, initialisation :209-330) with exact hyperparameters and the
+seed-2 numpy initial controls.
+
+State x = [r(3); v(3); p(3, MRP); omega(3)]; control u = [f(3); tau(3)].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from dcol_tpu.geometry import primitives as prim
+from dcol_tpu.geometry.mrp import mrp_from_quat, mrp_kinematics
+from dcol_tpu.solver.altro import AltroConfig
+from dcol_tpu.systems.base import (
+    CollisionScene, ProximityOptions, System, full_pose_jacobian_rows)
+from dcol_tpu.systems.quadrotor import linear_interp_ref
+
+_DATA = os.path.join(os.path.dirname(__file__), "data", "fixtures.npz")
+
+CONE_H = 2.0
+CONE_BETA = np.deg2rad(22)
+MASS, INERTIA = prim.cone_mass_properties(prim.cone(CONE_H, CONE_BETA))
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeThroughWall(System):
+    def dynamics(self, params, x, u, k):
+        dt = x.dtype
+        v = x[3:6]
+        p = x[6:9]
+        omega = x[9:12]
+        f = u[:3]
+        tau = u[3:6]
+        J = jnp.asarray(INERTIA, dt)
+        omega_dot = jnp.linalg.solve(J, tau - jnp.cross(omega, J @ omega))
+        return jnp.concatenate(
+            [v, f / MASS, mrp_kinematics(p, omega), omega_dot])
+
+    def robot_pose(self, x):
+        return x[0:3], x[6:9]
+
+    def pose_jacobian_rows(self, x, d_r, d_p):
+        return full_pose_jacobian_rows(self.nx, d_r, d_p)
+
+
+def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
+                pdip_jitter: float = 0.0) -> ConeThroughWall:
+    obstacles = (
+        prim.rect_prism(10.0, 10.0, 1.0),
+        prim.rect_prism(10.0, 10.0, 1.0),
+        prim.rect_prism(4.1, 4.1, 1.1),
+        prim.rect_prism(4.1, 4.1, 1.1),
+    )
+    scene = CollisionScene(
+        prim.cone(CONE_H, CONE_BETA), obstacles,
+        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
+    return ConeThroughWall(nx=12, nu=6, N=60, dt=0.1, scene=scene)
+
+
+def make_problem(dtype=jnp.float64):
+    """(system, params, X0, U0, config); reference :214-246, :252-267."""
+    sys = make_system()
+    N, nx, nu = sys.N, sys.nx, sys.nu
+    x0 = np.array([-4, -7, 9, 0.0, 0.0, 0.0, 0, 0, 0, 0, 0, 0])
+    xg = np.array([-4.5, 7, 3, 0, 0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0])
+    # four wall slabs rotated 90 deg about x (reference :260-267)
+    p_rot = np.asarray(mrp_from_quat(
+        np.array([np.cos(np.pi / 4), np.sin(np.pi / 4), 0, 0])))
+    obs_r = np.array([[-6, 0, 5.0], [6, 0, 5.0], [0, 0, 2.05], [0, 0, 7.96]])
+    obs_p = np.tile(p_rot, (4, 1))
+    params = {
+        "Q": jnp.eye(nx, dtype=dtype),
+        "R": jnp.asarray(np.diag([1.0, 1, 1, 100, 100, 100]), dtype),
+        "Qf": jnp.eye(nx, dtype=dtype),
+        "Xref": jnp.asarray(linear_interp_ref(sys.dt, x0, xg, N), dtype),
+        "Uref": jnp.zeros((N - 1, nu), dtype),
+        "u_min": jnp.full((nu,), -20.0, dtype),
+        "u_max": jnp.full((nu,), 20.0, dtype),
+        "obs_r": jnp.asarray(obs_r, dtype),
+        "obs_p": jnp.asarray(obs_p, dtype),
+    }
+    cfg = AltroConfig(max_iters=3000, max_ls_iters=20, atol=1e-1,
+                      convio_tol=1e-4, rho0=1.0, phi=10.0,
+                      reg_min=1e-6, reg_max=1e2)
+    X0 = jnp.asarray(np.tile(x0, (N, 1)), dtype)
+    U0 = jnp.asarray(np.load(_DATA)["cone_U0"], dtype)
+    return sys, params, X0, U0, cfg
