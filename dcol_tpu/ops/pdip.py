@@ -96,6 +96,10 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
         rz = s + jnp.einsum("...rv,...v->...r", G, x) - h
         mu = _mu(lay, s, z)
         new_done = done | (mu < tol) | ~jnp.isfinite(mu)
+        finite = (jnp.all(jnp.isfinite(x), axis=-1)
+                  & jnp.all(jnp.isfinite(s), axis=-1)
+                  & jnp.all(jnp.isfinite(z), axis=-1))
+        new_done = new_done | ~finite
 
         G_tilde = nt_solve_mat(lay, W, G)
         M = jnp.einsum("...rv,...rw->...vw", G_tilde, G_tilde)
@@ -131,10 +135,14 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                                linesearch(lay, z, dz_c)),
         )
 
-        step = jnp.where(new_done, 0.0, a)[..., None]
-        x = x + step * dx_c
-        s = s + step * ds_c
-        z = z + step * dz_c
+        # freeze done members via selection, NOT multiplication by zero —
+        # a degenerate post-convergence factorization yields NaN directions
+        # and 0 * NaN would poison the frozen iterate
+        act = (~new_done)[..., None]
+        a_ = a[..., None]
+        x = jnp.where(act, x + a_ * dx_c, x)
+        s = jnp.where(act, s + a_ * ds_c, s)
+        z = jnp.where(act, z + a_ * dz_c, z)
         iters = iters + jnp.where(new_done, 0, 1).astype(jnp.int32)
         return i + 1, x, s, z, new_done, iters
 
@@ -144,6 +152,9 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
 
     _, x, s, z, done, iters = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), x, s, z, done0, iters0))
-    # final convergence check (members can converge on the last update)
-    converged = done | (_mu(lay, s, z) < tol)
+    # final convergence check (members can converge on the last update);
+    # non-finite members (f32 breakdowns) are NOT converged
+    mu_f = _mu(lay, s, z)
+    finite = jnp.isfinite(mu_f) & jnp.all(jnp.isfinite(x), axis=-1)
+    converged = finite & (done | (mu_f < tol))
     return SocpSolution(x, s, z, iters, converged)

@@ -66,7 +66,10 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
 
 def make_problem(dtype=jnp.float64):
     """(system, params, X0, U0, config); reference :214-246, :252-267."""
-    sys = make_system()
+    if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
+        sys = make_system(pdip_tol=2e-5, pdip_jitter=1e-6)
+    else:
+        sys = make_system()
     N, nx, nu = sys.N, sys.nx, sys.nu
     x0 = np.array([-4, -7, 9, 0.0, 0.0, 0.0, 0, 0, 0, 0, 0, 0])
     xg = np.array([-4.5, 7, 3, 0, 0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0])

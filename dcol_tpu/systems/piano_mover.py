@@ -47,7 +47,8 @@ class PianoMover(System):
 
 
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
-                pdip_jitter: float = 0.0) -> PianoMover:
+                pdip_jitter: float = 0.0, N: int = 80,
+                dt: float = 0.1) -> PianoMover:
     robot = prim.rect_prism(2.5, 0.15, 0.01)            # reference :168
     obstacles = (
         prim.rect_prism(3.0, 3.0, 1.0),
@@ -57,13 +58,16 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     scene = CollisionScene(
         robot, obstacles,
         ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
-    return PianoMover(nx=6, nu=3, N=80, dt=0.1, scene=scene)
+    return PianoMover(nx=6, nu=3, N=N, dt=dt, scene=scene)
 
 
-def make_problem(dtype=jnp.float64):
+def make_problem(dtype=jnp.float64, N: int = 80):
     """(system, params, X0, U0, config) with reference hyperparameters
     (:137-219) and the pinned initial controls (:228)."""
-    sys = make_system()
+    if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
+        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6)
+    else:
+        sys = make_system(N=N)
     N, nx, nu = sys.N, sys.nx, sys.nu
     x0 = np.array([1.5, 1.5, 0, 0, 0, 0])
     xg = np.array([3.5, 3.7, 0, 0, np.deg2rad(90), 0])
@@ -84,5 +88,5 @@ def make_problem(dtype=jnp.float64):
                       convio_tol=1e-4, rho0=1.0, phi=10.0,
                       reg_min=1e-6, reg_max=1e2)
     X0 = jnp.asarray(np.tile(x0, (N, 1)), dtype)
-    U0 = jnp.asarray(np.load(_DATA)["piano_U0"], dtype)
+    U0 = jnp.asarray(np.load(_DATA)["piano_U0"][: N - 1], dtype)
     return sys, params, X0, U0, cfg

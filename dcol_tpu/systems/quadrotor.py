@@ -130,7 +130,10 @@ OBS_P = np.array([
 
 def make_problem(dtype=jnp.float64, N: int = 100):
     """(system, params, X0, U0, config); reference :234-246, :255-262."""
-    sys = make_system(N=N)
+    if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
+        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6)
+    else:
+        sys = make_system(N=N)
     nx, nu = sys.nx, sys.nu
     x0 = np.array([-8, 0, 4, 0, 0, 0.0, 0, 0, 0, 0, 0, 0])
     xg = np.array([8, 0, 4, 0, 0, 0.0, 0, 0, 0, 0, 0, 0])

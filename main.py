@@ -1,0 +1,74 @@
+"""CLI driver — usage parity with the reference (``main.py:24-66``):
+
+    python main.py --system {piano_mover,quadrotor,coneThroughWall}
+                   [--batch N] [--f32] [--no-viz]
+
+Runs the ALTRO solve (verbose per-iteration table), then renders the scene
+visualisations and diagnostic plots under result_images/<system>/.
+"""
+
+import argparse
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU-native DCOL trajectory optimization.")
+    parser.add_argument("--system", required=True,
+                        choices=["piano_mover", "quadrotor", "coneThroughWall"])
+    parser.add_argument("--batch", type=int, default=0,
+                        help="solve a batch of perturbed scenarios instead of one")
+    parser.add_argument("--f32", action="store_true",
+                        help="force float32 (default on TPU)")
+    parser.add_argument("--f64", action="store_true",
+                        help="force float64 (default on CPU; requires x64)")
+    parser.add_argument("--no-viz", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dcol_tpu.solver import altro
+    from dcol_tpu.systems import cone_through_wall, piano_mover, quadrotor
+
+    mod = {
+        "piano_mover": piano_mover,
+        "quadrotor": quadrotor,
+        "coneThroughWall": cone_through_wall,
+    }[args.system]
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if args.f64 or (on_cpu and not args.f32):
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float32
+    sys_, params, X0, U0, cfg = mod.make_problem(dtype=dtype)
+
+    if args.batch:
+        from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
+        from dcol_tpu.parallel.mesh import summarize
+
+        params_b, X0_b, U0_b = perturb_scenarios(
+            params, X0, U0, n=args.batch, x0_sigma=0.02)
+        t0 = time.time()
+        st = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
+        st.X.block_until_ready()
+        print(f"batch of {args.batch} solved in {time.time() - t0:.1f}s:"
+              f" {summarize(st)}")
+        return
+
+    print(f"Starting ALTRO optimization ({args.system})...")
+    t0 = time.time()
+    st = altro.solve_verbose(sys_, params, cfg, X0, U0)
+    print(f"ALTRO optimization complete in {time.time() - t0:.1f}s "
+          f"(converged={bool(st.converged)}).")
+
+    if not args.no_viz:
+        from dcol_tpu.utils import plots, viz
+
+        plots.plot_all(args.system, sys_, st)
+        viz.visualize_scene(args.system, sys_, params, st)
+        print(f"Wrote plots + scene renders to result_images/{args.system}/")
+
+
+if __name__ == "__main__":
+    main()
