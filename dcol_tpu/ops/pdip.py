@@ -96,10 +96,6 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
         rz = s + jnp.einsum("...rv,...v->...r", G, x) - h
         mu = _mu(lay, s, z)
         new_done = done | (mu < tol) | ~jnp.isfinite(mu)
-        finite = (jnp.all(jnp.isfinite(x), axis=-1)
-                  & jnp.all(jnp.isfinite(s), axis=-1)
-                  & jnp.all(jnp.isfinite(z), axis=-1))
-        new_done = new_done | ~finite
 
         G_tilde = nt_solve_mat(lay, W, G)
         M = jnp.einsum("...rv,...rw->...vw", G_tilde, G_tilde)
@@ -135,15 +131,22 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                                linesearch(lay, z, dz_c)),
         )
 
-        # freeze done members via selection, NOT multiplication by zero —
-        # a degenerate post-convergence factorization yields NaN directions
-        # and 0 * NaN would poison the frozen iterate
-        act = (~new_done)[..., None]
+        # Candidate update, validated BEFORE applying: in f32 the normal
+        # matrix can degenerate (cond ~1/eps near mu -> 0) and produce NaN
+        # directions; such members freeze at their last good iterate instead
+        # of being poisoned.  Freeze is via selection, NOT multiplication by
+        # zero (0 * NaN = NaN).
         a_ = a[..., None]
-        x = jnp.where(act, x + a_ * dx_c, x)
-        s = jnp.where(act, s + a_ * ds_c, s)
-        z = jnp.where(act, z + a_ * dz_c, z)
-        iters = iters + jnp.where(new_done, 0, 1).astype(jnp.int32)
+        xn, sn, zn = x + a_ * dx_c, s + a_ * ds_c, z + a_ * dz_c
+        good = (jnp.all(jnp.isfinite(xn), axis=-1)
+                & jnp.all(jnp.isfinite(sn), axis=-1)
+                & jnp.all(jnp.isfinite(zn), axis=-1))
+        act = (~new_done & good)[..., None]
+        x = jnp.where(act, xn, x)
+        s = jnp.where(act, sn, s)
+        z = jnp.where(act, zn, z)
+        new_done = new_done | ~good  # numerical breakdown: permanent freeze
+        iters = iters + jnp.where(act[..., 0], 1, 0).astype(jnp.int32)
         return i + 1, x, s, z, new_done, iters
 
     def cond(carry):
@@ -152,9 +155,9 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
 
     _, x, s, z, done, iters = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), x, s, z, done0, iters0))
-    # final convergence check (members can converge on the last update);
-    # non-finite members (f32 breakdowns) are NOT converged
+    # final convergence check on the actual duality gap (members frozen by a
+    # numerical breakdown above tol report converged=False but still carry
+    # their last good iterate)
     mu_f = _mu(lay, s, z)
-    finite = jnp.isfinite(mu_f) & jnp.all(jnp.isfinite(x), axis=-1)
-    converged = finite & (done | (mu_f < tol))
+    converged = jnp.isfinite(mu_f) & (mu_f < tol)
     return SocpSolution(x, s, z, iters, converged)

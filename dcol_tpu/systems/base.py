@@ -104,13 +104,20 @@ class CollisionScene:
 @dataclasses.dataclass(frozen=True)
 class System:
     """Static system description.  Subclasses define dynamics and the robot
-    pose extraction; control bounds and collision constraints are shared."""
+    pose extraction; control bounds and collision constraints are shared.
+
+    ``fd_jacobians``: use the reference's forward-difference dynamics
+    Jacobians (delta=1e-6, ALTRO.py:77-100) instead of exact AD.  Exact AD is
+    the default (better conditioned); FD mode reproduces the reference's
+    iterate path on nonlinear systems for bit-similar trajectory parity."""
 
     nx: int
     nu: int
     N: int
     dt: float
     scene: CollisionScene
+    fd_jacobians: bool = False
+    fd_delta: float = 1e-6
 
     @property
     def ncx(self) -> int:
@@ -135,12 +142,18 @@ class System:
         return x + (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
 
     def dynamics_jacobians(self, params, x, u, k):
-        """Exact A, B via forward-mode AD (replaces the reference's
-        finite differences, ALTRO.py:77-100)."""
-        return jax.jacfwd(
-            lambda x_, u_: self.discrete_dynamics(params, x_, u_, k),
-            argnums=(0, 1),
-        )(x, u)
+        """A, B: exact forward-mode AD by default; forward differences in
+        reference-compatible mode (ALTRO.py:77-100)."""
+        f = lambda x_, u_: self.discrete_dynamics(params, x_, u_, k)
+        if not self.fd_jacobians:
+            return jax.jacfwd(f, argnums=(0, 1))(x, u)
+        d = jnp.asarray(self.fd_delta, x.dtype)
+        f0 = f(x, u)
+        A = jax.vmap(lambda e: (f(x + d * e, u) - f0) / d)(
+            jnp.eye(self.nx, dtype=x.dtype)).T
+        B = jax.vmap(lambda e: (f(x, u + d * e) - f0) / d)(
+            jnp.eye(self.nu, dtype=x.dtype)).T
+        return A, B
 
     # -- robot pose from state -------------------------------------------
     def robot_pose(self, x):

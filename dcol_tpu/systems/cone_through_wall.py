@@ -27,6 +27,7 @@ _DATA = os.path.join(os.path.dirname(__file__), "data", "fixtures.npz")
 CONE_H = 2.0
 CONE_BETA = np.deg2rad(22)
 MASS, INERTIA = prim.cone_mass_properties(prim.cone(CONE_H, CONE_BETA))
+INERTIA_DIAG = np.diag(INERTIA).copy()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,8 +39,9 @@ class ConeThroughWall(System):
         omega = x[9:12]
         f = u[:3]
         tau = u[3:6]
-        J = jnp.asarray(INERTIA, dt)
-        omega_dot = jnp.linalg.solve(J, tau - jnp.cross(omega, J @ omega))
+        # diagonal inertia: elementwise solve (see quadrotor.py note)
+        Jd = jnp.asarray(INERTIA_DIAG, dt)
+        omega_dot = (tau - jnp.cross(omega, Jd * omega)) / Jd
         return jnp.concatenate(
             [v, f / MASS, mrp_kinematics(p, omega), omega_dot])
 
@@ -51,7 +53,8 @@ class ConeThroughWall(System):
 
 
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
-                pdip_jitter: float = 0.0) -> ConeThroughWall:
+                pdip_jitter: float = 0.0,
+                fd_jacobians: bool = False) -> ConeThroughWall:
     obstacles = (
         prim.rect_prism(10.0, 10.0, 1.0),
         prim.rect_prism(10.0, 10.0, 1.0),
@@ -61,7 +64,8 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     scene = CollisionScene(
         prim.cone(CONE_H, CONE_BETA), obstacles,
         ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
-    return ConeThroughWall(nx=12, nu=6, N=60, dt=0.1, scene=scene)
+    return ConeThroughWall(nx=12, nu=6, N=60, dt=0.1, scene=scene,
+                           fd_jacobians=fd_jacobians)
 
 
 def make_problem(dtype=jnp.float64):

@@ -48,7 +48,7 @@ class PianoMover(System):
 
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
                 pdip_jitter: float = 0.0, N: int = 80,
-                dt: float = 0.1) -> PianoMover:
+                dt: float = 0.1, fd_jacobians: bool = False) -> PianoMover:
     robot = prim.rect_prism(2.5, 0.15, 0.01)            # reference :168
     obstacles = (
         prim.rect_prism(3.0, 3.0, 1.0),
@@ -58,7 +58,8 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     scene = CollisionScene(
         robot, obstacles,
         ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
-    return PianoMover(nx=6, nu=3, N=N, dt=dt, scene=scene)
+    return PianoMover(nx=6, nu=3, N=N, dt=dt, scene=scene,
+                      fd_jacobians=fd_jacobians)
 
 
 def make_problem(dtype=jnp.float64, N: int = 80):

@@ -26,6 +26,7 @@ _DATA = os.path.join(os.path.dirname(__file__), "data", "fixtures.npz")
 
 MASS = 0.5
 J_INERTIA = np.diag([0.0023, 0.0023, 0.004])
+J_DIAG = np.array([0.0023, 0.0023, 0.004])
 GRAVITY = 9.81
 ARM_L = 0.1750
 KF = 1.0
@@ -40,7 +41,7 @@ class Quadrotor(System):
         p = x[6:9]
         omega = x[9:12]
         Q = dcm_from_mrp(p)
-        J = jnp.asarray(J_INERTIA, dt)
+        Jd = jnp.asarray(J_DIAG, dt)
 
         # rotor forces clamp to >= 0 (reference :53-56); kink-differentiable
         F_rot = jnp.maximum(0.0, KF * u)
@@ -52,7 +53,9 @@ class Quadrotor(System):
             M[0] - M[1] + M[2] - M[3],
         ])
         f_world = MASS * jnp.array([0.0, 0.0, -GRAVITY], dt) + Q @ F_body
-        omega_dot = jnp.linalg.solve(J, tau - jnp.cross(omega, J @ omega))
+        # inertia is diagonal: solve(J, .) is an elementwise divide (avoids
+        # XLA:TPU's small-matrix LU path, which is both slow and inaccurate)
+        omega_dot = (tau - jnp.cross(omega, Jd * omega)) / Jd
         return jnp.concatenate(
             [v, f_world / MASS, mrp_kinematics(p, omega), omega_dot])
 
@@ -77,7 +80,7 @@ def linear_interp_ref(dt, x0, xg, N):
 
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
                 pdip_jitter: float = 0.0, N: int = 100,
-                dt: float = 0.08) -> Quadrotor:
+                dt: float = 0.08, fd_jacobians: bool = False) -> Quadrotor:
     data = np.load(_DATA)
     A_poly, b_poly = prim.n_sided_polygon(5, 0.6)
     obstacles = (
@@ -96,7 +99,8 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     scene = CollisionScene(
         prim.sphere(0.25), obstacles,
         ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
-    return Quadrotor(nx=12, nu=4, N=N, dt=dt, scene=scene)
+    return Quadrotor(nx=12, nu=4, N=N, dt=dt, scene=scene,
+                     fd_jacobians=fd_jacobians)
 
 
 # reference :314-331 (Julia-seed-2 obstacle poses), plus floor/ceiling rows
