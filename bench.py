@@ -51,6 +51,9 @@ def main():
             params, X0, U0, n=batch, seed=r + 1, x0_sigma=0.02)
         st = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
         st.X.block_until_ready()
+        log(f"rep {r}: {time.time() - t0:.1f}s cumulative, "
+            f"converged {int(jnp.sum(st.converged))}/{batch}, "
+            f"mean iters {float(jnp.mean(st.iter)):.1f}")
     wall = (time.time() - t0) / reps
     solves_per_s = batch / wall
     log(f"wall per batch: {wall:.2f}s -> {solves_per_s:.2f} solves/s")

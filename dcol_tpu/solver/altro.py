@@ -125,7 +125,7 @@ def total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho):
 
 def eval_constraints(sys, params, X, U):
     """(hx (N, ncx), hu (N-1, ncu)); the hx batch is one fused PDIP solve."""
-    hx = jax.vmap(lambda x: sys.constraints_x(params, x))(X)
+    hx = sys.constraints_x_traj(params, X)
     hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
     return hx, hu
 
@@ -145,7 +145,7 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg):
         X[:-1], U, ks)
 
     # fused constraint values + gradients over the whole horizon
-    hx, gx = jax.vmap(lambda x: sys.constraints_x_vg(params, x))(X)
+    hx, gx = sys.constraints_x_vg_traj(params, X)
     hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
     gu = jax.vmap(lambda u: sys.constraints_u_grad(params, u))(U)
 

@@ -34,6 +34,7 @@ class ProximityOptions:
     tol: float = 1e-6        # reference pdip_tol (proximity/proximity.py:6)
     max_iters: int = 30
     jitter: float = 0.0
+    backend: str = "xla"     # "xla" (batched lax ops) or "pallas" (fused kernel)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,32 +74,64 @@ class CollisionScene:
             cs.append(c); Gs.append(G); hs.append(h)
         return jnp.stack(cs), jnp.stack(Gs), jnp.stack(hs)
 
+    # -- solver dispatch --------------------------------------------------
+    def _solve(self, c, G, h):
+        """Solve a flat batch of padded pair problems with the configured
+        backend.  c/G/h have one leading batch dim."""
+        if self.opts.backend == "pallas":
+            from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
+
+            return solve_socp_pallas(
+                c, G, h, self.cone_layout, tol=self.opts.tol,
+                max_iters=self.opts.max_iters, jitter=self.opts.jitter)
+        return solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
+                          max_iters=self.opts.max_iters,
+                          jitter=self.opts.jitter)
+
     # -- proximity values -------------------------------------------------
     def alphas(self, r, p, obs_r, obs_p):
         """(n_obs,) proximity alphas for one robot pose (value only)."""
         c, G, h = self.assemble(r, p, obs_r, obs_p)
-        sol = solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
-                         max_iters=self.opts.max_iters, jitter=self.opts.jitter)
+        sol = self._solve(c, G, h)
         return sol.x[..., 3]
 
-    def alphas_and_grads(self, r, p, obs_r, obs_p):
-        """(alphas (n_obs,), d_alpha/dr (n_obs,3), d_alpha/dp (n_obs,3)).
+    def alphas_traj(self, rs, ps, obs_r, obs_p):
+        """(T, n_obs) alphas for a trajectory of robot poses rs/ps (T, 3):
+        assembly is vmapped per knot, then ALL (T x n_obs) pair problems are
+        ONE flat batched solve (one kernel launch on the pallas backend)."""
+        T = rs.shape[0]
+        c, G, h = jax.vmap(
+            lambda r_, p_: self.assemble(r_, p_, obs_r, obs_p))(rs, ps)
+        flat = lambda a: a.reshape((T * self.n_obs,) + a.shape[2:])
+        sol = self._solve(flat(c), flat(G), flat(h))
+        return sol.x[:, 3].reshape(T, self.n_obs)
 
-        One solve; gradients via the envelope theorem with the optimal
-        (x*, z*) frozen (proximity_gradient.py:50-88 in the reference).
-        """
-        c, G, h = self.assemble(r, p, obs_r, obs_p)
-        sol = solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
-                         max_iters=self.opts.max_iters, jitter=self.opts.jitter)
-        x = jax.lax.stop_gradient(sol.x)
-        z = jax.lax.stop_gradient(sol.z)
+    def alphas_and_grads_traj(self, rs, ps, obs_r, obs_p):
+        """(alphas (T, n_obs), d_r (T, n_obs, 3), d_p (T, n_obs, 3)) in one
+        fused solve over the whole trajectory; gradients via the envelope
+        theorem with (x*, z*) frozen (proximity_gradient.py:50-88)."""
+        T = rs.shape[0]
+        c, G, h = jax.vmap(
+            lambda r_, p_: self.assemble(r_, p_, obs_r, obs_p))(rs, ps)
+        flat = lambda a: a.reshape((T * self.n_obs,) + a.shape[2:])
+        sol = self._solve(flat(c), flat(G), flat(h))
+        x = jax.lax.stop_gradient(sol.x).reshape(T, self.n_obs, -1)
+        z = jax.lax.stop_gradient(sol.z).reshape(T, self.n_obs, -1)
 
-        def lag_vec(r_, p_):
+        def lag_vec(r_, p_, x_, z_):
             _, G_, h_ = self.assemble(r_, p_, obs_r, obs_p)
-            return jnp.sum(z * (jnp.einsum("orv,ov->or", G_, x) - h_), axis=-1)
+            return jnp.sum(z_ * (jnp.einsum("orv,ov->or", G_, x_) - h_),
+                           axis=-1)
 
-        d_r, d_p = jax.jacrev(lag_vec, argnums=(0, 1))(r, p)
-        return sol.x[..., 3], d_r, d_p
+        d_r, d_p = jax.vmap(jax.jacrev(lag_vec, argnums=(0, 1)))(rs, ps, x, z)
+        alphas = x[..., 3].reshape(T, self.n_obs)
+        return alphas, d_r, d_p
+
+    def alphas_and_grads(self, r, p, obs_r, obs_p):
+        """Single-pose variant of :meth:`alphas_and_grads_traj`."""
+        a, d_r, d_p = self.alphas_and_grads_traj(
+            r[None], p[None], obs_r, obs_p)
+        return a[0], d_r[0], d_p[0]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,12 +203,28 @@ class System:
         r, p = self.robot_pose(x)
         return 1.0 - self.scene.alphas(r, p, params["obs_r"], params["obs_p"])
 
+    def constraints_x_traj(self, params, X):
+        """(T, ncx) constraint values for a state trajectory, as one flat
+        batched PDIP solve."""
+        rs, ps = jax.vmap(self.robot_pose)(X)
+        return 1.0 - self.scene.alphas_traj(
+            rs, ps, params["obs_r"], params["obs_p"])
+
     def constraints_x_vg(self, params, x):
         """(h (ncx,), dh/dx (ncx, nx)) in one fused solve."""
         r, p = self.robot_pose(x)
         a, d_r, d_p = self.scene.alphas_and_grads(
             r, p, params["obs_r"], params["obs_p"])
         return 1.0 - a, self.pose_jacobian_rows(x, d_r, d_p)
+
+    def constraints_x_vg_traj(self, params, X):
+        """(h (T, ncx), dh/dx (T, ncx, nx)) for a state trajectory in one
+        fused batched solve."""
+        rs, ps = jax.vmap(self.robot_pose)(X)
+        a, d_r, d_p = self.scene.alphas_and_grads_traj(
+            rs, ps, params["obs_r"], params["obs_p"])
+        rows = jax.vmap(self.pose_jacobian_rows)(X, d_r, d_p)
+        return 1.0 - a, rows
 
     # -- control bounds ---------------------------------------------------
     def constraints_u(self, params, u):
