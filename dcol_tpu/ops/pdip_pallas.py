@@ -228,9 +228,15 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
         BT = G.shape[-1]
         dt = G.dtype
 
-        e = jnp.zeros((nr, 1), dt)
-        e = e.at[:n].set(1.0).at[n].set(1.0).at[n + lay.s1].set(1.0)
-        e = jnp.broadcast_to(e, (nr, BT))
+        # cone identity [1]*n_ort + e1 per SOC, built without scatter
+        # (Mosaic has no scatter lowering)
+        def blk(k, dim):
+            one = jnp.ones((1, BT), dt)
+            zero = jnp.zeros((dim - 1, BT), dt)
+            return jnp.concatenate([one, zero], axis=0)
+
+        e = jnp.concatenate(
+            [jnp.ones((n, BT), dt), blk(1, lay.s1), blk(2, lay.s2)], axis=0)
 
         # --- initialization (pdip.py initialize) -------------------------
         L0 = _chol_factor(gram(G), nv, jitter)

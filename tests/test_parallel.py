@@ -1,0 +1,91 @@
+"""Mesh sharding (virtual 8-device CPU), checkpoint/resume, and MPC tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcol_tpu.parallel import checkpoint
+from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
+from dcol_tpu.parallel.mesh import (scenario_mesh, solve_batch_sharded,
+                                    summarize)
+from dcol_tpu.solver import altro, mpc
+from dcol_tpu.systems import piano_mover
+
+
+def _small_problem():
+    sys_, params, X0, U0, cfg = piano_mover.make_problem()
+    return sys_, params, X0, U0, cfg
+
+
+def test_sharded_solve_matches_unsharded():
+    """8-way scenario sharding must be numerically identical to the local
+    batch (determinism independent of sharding, SURVEY.md §7.4 item 6)."""
+    assert jax.device_count() >= 8
+    sys_, params, X0, U0, cfg = _small_problem()
+    params_b, X0_b, U0_b = perturb_scenarios(
+        params, X0, U0, n=8, seed=5, x0_sigma=0.05)
+
+    local = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
+    mesh = scenario_mesh(jax.devices()[:8])
+    sharded = solve_batch_sharded(sys_, mesh, params_b, cfg, X0_b, U0_b)
+
+    assert bool(jnp.all(sharded.converged))
+    np.testing.assert_allclose(np.asarray(sharded.X), np.asarray(local.X),
+                               atol=1e-12)
+    s = summarize(sharded)
+    assert s["n_converged"] == 8 and s["n_failed"] == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    sys_, params, X0, U0, cfg = _small_problem()
+    st = altro.solve(sys_, params, cfg, X0, U0)
+    path = os.path.join(tmp_path, "state.npz")
+    checkpoint.save(path, st)
+    st2 = checkpoint.load(path, like=st)
+    np.testing.assert_array_equal(np.asarray(st.X), np.asarray(st2.X))
+    np.testing.assert_array_equal(np.asarray(st.mux), np.asarray(st2.mux))
+    assert int(st2.iter) == int(st.iter)
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    """A capped solve checkpointed and resumed reaches the same result as an
+    uninterrupted solve."""
+    sys_, params, X0, U0, cfg = _small_problem()
+    import dataclasses
+
+    cfg_short = dataclasses.replace(cfg, max_iters=10)
+    st_partial = altro.solve(sys_, params, cfg_short, X0, U0)
+    assert not bool(st_partial.converged)
+    path = os.path.join(tmp_path, "partial.npz")
+    checkpoint.save(path, st_partial)
+    st_loaded = checkpoint.load(path, like=st_partial)
+
+    # resume: keep iterating from the restored state
+    step = jax.jit(lambda p, s: altro.altro_iteration(sys_, p, cfg, s))
+    st = st_loaded
+    for _ in range(60):
+        st = step(params, st)
+        if bool(st.converged):
+            break
+    assert bool(st.converged)
+
+    st_full = altro.solve(sys_, params, cfg, X0, U0)
+    np.testing.assert_allclose(np.asarray(st.X), np.asarray(st_full.X),
+                               atol=1e-9)
+
+
+def test_mpc_reaches_goal():
+    """Receding-horizon MPC on the piano mover drives toward the goal with
+    warm-started low-iteration solves."""
+    import dataclasses
+
+    sys_, params, X0, U0, cfg = _small_problem()
+    cfg_mpc = dataclasses.replace(cfg, max_iters=6)
+    res = mpc.mpc_run(sys_, params, cfg_mpc, X0[0], U0, n_steps=25)
+    d0 = float(jnp.linalg.norm(X0[0][:2] - params["Xref"][-1][:2]))
+    d1 = float(jnp.linalg.norm(res.X_applied[-1][:2]
+                               - params["Xref"][-1][:2]))
+    assert d1 < 0.4 * d0  # closed the gap substantially in 25 ticks
+    assert bool(jnp.all(jnp.isfinite(res.X_applied)))
