@@ -4,20 +4,23 @@ Same algorithm as :mod:`dcol_tpu.ops.pdip` (Mehrotra predictor-corrector with
 NT scaling; see there for the reference mapping) but laid out for the TPU VPU:
 
   * **batch on lanes**: every quantity of the tiny (NR x NV) conic problem is
-    stored problem-major with the scenario batch on the LAST axis — G is
-    (NR, NV, BT), vectors are (rows, BT) — so each scalar of the algorithm is
-    one (.., 128)-lane vector op over BT scenarios.  The XLA path's
-    (B, NR, NV) layout pads NV=6..8 up to 128 lanes (>90% waste); this layout
-    wastes nothing.
-  * **everything unrolled at trace time**: the 8x8 normal-equation Cholesky,
-    the triangular solves, and all cone-block algebra unroll into straight-
-    line VPU code; the only loop is the interior-point iteration itself.
+    stored problem-major with the scenario batch on the LAST axis, so each
+    scalar of the algorithm is one 128-lane vector op over the batch tile.
+    The XLA path's (B, NR, NV) layout pads NV=6..8 up to 128 lanes (>90%
+    lane waste); this layout wastes nothing.
+  * **pure 2-D working set**: cone blocks (orthant / SOC1 / SOC2) and matrix
+    columns are separate 2-D ``(rows, BT)`` values read straight from the
+    refs — Mosaic's vector layouts stay offset-free, and the 8x8 Cholesky,
+    triangular solves, and cone algebra unroll into straight-line VPU code.
   * one ``pallas_call`` solves the whole batch: grid over batch tiles of
     ``BT`` lanes, all operands resident in VMEM (~100 KB/tile).
 
 The wrapper :func:`solve_socp_pallas` accepts/returns the same (B, ...)
 convention as ``solve_socp`` and is numerically interchangeable with it
 (tested batch-vs-batch in ``tests/test_pdip_pallas.py``).
+
+Vectors over the composite cone are triples ``(v_ort (n,BT), v1 (S,BT),
+v2 (S,BT))``; the NV-dim primal lives as a list of ``(1, BT)`` rows.
 """
 
 from __future__ import annotations
@@ -35,25 +38,31 @@ from dcol_tpu.ops.pdip import SocpSolution
 _TINY = 1e-25
 
 
-# ---------------------------------------------------------------------------
-# axis-0 cone algebra (cone index first, batch last) — mirrors ops/cones.py
-# ---------------------------------------------------------------------------
+def _rsum(a):
+    """Row-axis reduction -> (1, BT)."""
+    return jnp.sum(a, axis=0, keepdims=True)
+
+
+def _rmin(a):
+    return jnp.min(a, axis=0, keepdims=True)
+
+
+# -- cone-block triple algebra ---------------------------------------------
 
 def _soc_quad(x):
-    return x[0:1] ** 2 - jnp.sum(x[1:] ** 2, axis=0, keepdims=True)
+    return x[0:1] ** 2 - _rsum(x[1:] ** 2)
 
 
 def _soc_prod(u, v):
-    head = jnp.sum(u * v, axis=0, keepdims=True)
-    tail = u[0:1] * v[1:] + v[0:1] * u[1:]
-    return jnp.concatenate([head, tail], axis=0)
+    return jnp.concatenate(
+        [_rsum(u * v), u[0:1] * v[1:] + v[0:1] * u[1:]], axis=0)
 
 
 def _soc_inv_prod(u, w):
     u0, u1 = u[0:1], u[1:]
     w0, w1 = w[0:1], w[1:]
     rho = _soc_quad(u)
-    nu = jnp.sum(u1 * w1, axis=0, keepdims=True)
+    nu = _rsum(u1 * w1)
     head = u0 * w0 - nu
     tail = (nu / u0 - w0) * u1 + (rho / u0) * w1
     return jnp.concatenate([head, tail], axis=0) / rho
@@ -64,124 +73,114 @@ def _soc_nt(s, z):
     jz = jnp.maximum(_soc_quad(z), _TINY)
     sbar = s / jnp.sqrt(js)
     zbar = z / jnp.sqrt(jz)
-    gamma = jnp.sqrt((1.0 + jnp.sum(sbar * zbar, axis=0, keepdims=True)) / 2.0)
+    gamma = jnp.sqrt((1.0 + _rsum(sbar * zbar)) / 2.0)
     Jz = jnp.concatenate([zbar[0:1], -zbar[1:]], axis=0)
     wbar = (sbar + Jz) / (2.0 * gamma)
     eta = (js / jz) ** 0.25
-    return eta, wbar  # (1, BT), (S, BT)
+    return eta, wbar
 
 
 def _soc_apply(eta, wbar, v, inverse):
-    """(eta Wbar)^{+/-1} v; v may carry extra middle dims (matrix blocks)."""
-    extra = v.ndim - 2
-    esh = (1,) + (1,) * extra + (eta.shape[-1],)
-    wsh = (wbar.shape[0],) + (1,) * extra + (wbar.shape[-1],)
-    eta = eta.reshape(esh)
-    wbar = wbar.reshape(wsh)
     w0, w1 = wbar[0:1], wbar[1:]
     sgn = -1.0 if inverse else 1.0
     v0, v1 = v[0:1], v[1:]
-    w1v1 = jnp.sum(w1 * v1, axis=0, keepdims=True)
+    w1v1 = _rsum(w1 * v1)
     head = w0 * v0 + sgn * w1v1
     tail = v1 + (sgn * v0 + w1v1 / (1.0 + w0)) * w1
     out = jnp.concatenate([head, tail], axis=0)
     return out / eta if inverse else out * eta
 
 
-def _matvec(G, x):
-    """(NR, NV, BT) @ (NV, BT) -> (NR, BT)."""
-    return jnp.sum(G * x[None], axis=1)
+def _cone_prod(u, v):
+    return (u[0] * v[0], _soc_prod(u[1], v[1]), _soc_prod(u[2], v[2]))
 
 
-def _rmatvec(G, z):
-    """G' z: (NR, NV, BT), (NR, BT) -> (NV, BT)."""
-    return jnp.sum(G * z[:, None], axis=0)
+def _inv_cone_prod(lam, v):
+    return (v[0] / lam[0], _soc_inv_prod(lam[1], v[1]),
+            _soc_inv_prod(lam[2], v[2]))
 
 
-def _make_ops(lay: ConeLayout):
-    n, S1, S2 = lay.n_ort, lay.s1, lay.s2
+def _nt(s, z):
+    return (jnp.sqrt(s[0] / z[0]), _soc_nt(s[1], z[1]), _soc_nt(s[2], z[2]))
 
-    def split(v):
-        return v[:n], v[n : n + S1], v[n + S1 :]
 
-    def cone_prod(u, v):
-        uo, u1, u2 = split(u)
-        vo, v1, v2 = split(v)
-        return jnp.concatenate(
-            [uo * vo, _soc_prod(u1, v1), _soc_prod(u2, v2)], axis=0)
+def _W(W, v, inverse=False):
+    w_ort, (e1, w1), (e2, w2) = W
+    o = v[0] / w_ort if inverse else v[0] * w_ort
+    return (o, _soc_apply(e1, w1, v[1], inverse),
+            _soc_apply(e2, w2, v[2], inverse))
 
-    def inv_cone_prod(lam, v):
-        lo, l1, l2 = split(lam)
-        vo, v1, v2 = split(v)
-        return jnp.concatenate(
-            [vo / lo, _soc_inv_prod(l1, v1), _soc_inv_prod(l2, v2)], axis=0)
 
-    def nt(s, z):
-        so, s1, s2 = split(s)
-        zo, z1, z2 = split(z)
-        return (jnp.sqrt(so / zo), _soc_nt(s1, z1), _soc_nt(s2, z2))
+def _dot(u, v):
+    """<u, v> over the whole cone -> (1, BT)."""
+    return _rsum(u[0] * v[0]) + _rsum(u[1] * v[1]) + _rsum(u[2] * v[2])
 
-    def W_apply(W, v, inverse=False):
-        w_ort, (e1, w1), (e2, w2) = W
-        vo, v1, v2 = split(v)
-        o = vo / w_ort if inverse else vo * w_ort
-        return jnp.concatenate(
-            [o, _soc_apply(e1, w1, v1, inverse),
-             _soc_apply(e2, w2, v2, inverse)], axis=0)
 
-    def W_solve_mat(W, G):
-        w_ort, (e1, w1), (e2, w2) = W
-        Go = G[:n] / w_ort[:, None]
-        G1 = _soc_apply(e1, w1, G[n : n + S1], True)
-        G2 = _soc_apply(e2, w2, G[n + S1 :], True)
-        return jnp.concatenate([Go, G1, G2], axis=0)
+def _axpy(a, u, v):
+    """u + a*v blockwise; a: (1, BT)."""
+    return (u[0] + a * v[0], u[1] + a * v[1], u[2] + a * v[2])
 
-    def linesearch(x, dx):
-        xo, x1, x2 = split(x)
-        do, d1, d2 = split(dx)
-        neg = do < 0
-        ratios = jnp.where(neg, -xo / jnp.where(neg, do, -1.0), jnp.inf)
-        a = jnp.minimum(1.0, jnp.min(ratios, axis=0, keepdims=True))
 
-        def soc_ls(y, d):
-            y0, yv = y[0:1], y[1:]
-            d0, dv = d[0:1], d[1:]
-            nu = jnp.maximum(_soc_quad(y), _TINY)
-            sq = jnp.sqrt(nu)
-            zeta = y0 * d0 - jnp.sum(yv * dv, axis=0, keepdims=True)
-            rho0 = zeta / nu
-            coef = (zeta / sq + d0) / (y0 / sq + 1.0)
-            rv = dv / sq - coef * yv / nu
-            rnorm = jnp.sqrt(jnp.sum(rv * rv, axis=0, keepdims=True))
-            lim = 1.0 / jnp.maximum(rnorm - rho0, _TINY)
-            return jnp.where(rnorm > rho0, jnp.minimum(1.0, lim), 1.0)
+def _select(m, u, v):
+    """where(m, u, v) blockwise; m: (1, BT) bool."""
+    return (jnp.where(m, u[0], v[0]), jnp.where(m, u[1], v[1]),
+            jnp.where(m, u[2], v[2]))
 
-        a = jnp.minimum(a, soc_ls(x1, d1))
-        a = jnp.minimum(a, soc_ls(x2, d2))
-        return a  # (1, BT)
 
-    def bring2cone(r, e):
-        ro, r1, r2 = split(r)
-        a = -jnp.min(ro, axis=0, keepdims=True)
-        a = jnp.maximum(
-            a, -(r1[0:1] - jnp.sqrt(jnp.sum(r1[1:] ** 2, axis=0, keepdims=True))))
-        a = jnp.maximum(
-            a, -(r2[0:1] - jnp.sqrt(jnp.sum(r2[1:] ** 2, axis=0, keepdims=True))))
-        return jnp.where(a < 0, r, r + (1.0 + a) * e)
+def _finite(u):
+    return (jnp.all(jnp.isfinite(u[0]), axis=0, keepdims=True)
+            & jnp.all(jnp.isfinite(u[1]), axis=0, keepdims=True)
+            & jnp.all(jnp.isfinite(u[2]), axis=0, keepdims=True))
 
-    return split, cone_prod, inv_cone_prod, nt, W_apply, W_solve_mat, \
-        linesearch, bring2cone
+
+def _linesearch(x, dx):
+    xo, do = x[0], dx[0]
+    neg = do < 0
+    ratios = jnp.where(neg, -xo / jnp.where(neg, do, -1.0), jnp.inf)
+    a = jnp.minimum(1.0, _rmin(ratios))
+
+    def soc_ls(y, d):
+        y0, yv = y[0:1], y[1:]
+        d0, dv = d[0:1], d[1:]
+        nu = jnp.maximum(_soc_quad(y), _TINY)
+        sq = jnp.sqrt(nu)
+        zeta = y0 * d0 - _rsum(yv * dv)
+        rho0 = zeta / nu
+        coef = (zeta / sq + d0) / (y0 / sq + 1.0)
+        rv = dv / sq - coef * yv / nu
+        rnorm = jnp.sqrt(_rsum(rv * rv))
+        lim = 1.0 / jnp.maximum(rnorm - rho0, _TINY)
+        return jnp.where(rnorm > rho0, jnp.minimum(1.0, lim), 1.0)
+
+    a = jnp.minimum(a, soc_ls(x[1], dx[1]))
+    a = jnp.minimum(a, soc_ls(x[2], dx[2]))
+    return a
+
+
+def _bring2cone(r, e_ort):
+    a = -_rmin(r[0])
+    a = jnp.maximum(a, -(r[1][0:1] - jnp.sqrt(_rsum(r[1][1:] ** 2))))
+    a = jnp.maximum(a, -(r[2][0:1] - jnp.sqrt(_rsum(r[2][1:] ** 2))))
+    shift = 1.0 + a
+    ok = a < 0
+    S = r[1].shape[0]
+    zpad = jnp.zeros((S - 1, a.shape[-1]), r[0].dtype)
+    soc_e = lambda blk: jnp.concatenate([blk[0:1] + shift, blk[1:]], axis=0)
+    return (jnp.where(ok, r[0], r[0] + shift * e_ort),
+            jnp.where(ok, r[1], soc_e(r[1])),
+            jnp.where(ok, r[2], soc_e(r[2])))
 
 
 def _chol_factor(M, nv, jitter):
-    """Unrolled Cholesky of M[(i,j)] -> dict of (1, BT) entries."""
+    """M: dict {(i,j): (1, BT)} lower triangle -> L entries."""
     if jitter:
         tr = sum(M[(i, i)] for i in range(nv)) / nv
-        M = {k: (v + jitter * tr if k[0] == k[1] else v) for k, v in M.items()}
+        M = {k: (v + jitter * tr if k[0] == k[1] else v)
+             for k, v in M.items()}
     L = {}
     for i in range(nv):
         for j in range(i + 1):
-            sacc = M[(i, j)] if i >= j else M[(j, i)]
+            sacc = M[(i, j)]
             for k in range(j):
                 sacc = sacc - L[(i, k)] * L[(j, k)]
             if i == j:
@@ -192,10 +191,10 @@ def _chol_factor(M, nv, jitter):
 
 
 def _chol_solve(L, b, nv):
-    """b: (NV, BT) -> (NV, BT), unrolled forward/backward substitution."""
+    """b: list of (1, BT) -> list of (1, BT)."""
     y = [None] * nv
     for i in range(nv):
-        sacc = b[i : i + 1]
+        sacc = b[i]
         for k in range(i):
             sacc = sacc - L[(i, k)] * y[k]
         y[i] = sacc / L[(i, i)]
@@ -205,105 +204,128 @@ def _chol_solve(L, b, nv):
         for k in range(i + 1, nv):
             sacc = sacc - L[(k, i)] * x[k]
         x[i] = sacc / L[(i, i)]
-    return jnp.concatenate(x, axis=0)
+    return x
 
 
 def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
                  jitter: float):
-    nr = lay.nr
-    n = lay.n_ort
+    n, S1, S2 = lay.n_ort, lay.s1, lay.s2
     degree = lay.degree
-    (split, cone_prod, inv_cone_prod, nt, W_apply, W_solve_mat,
-     linesearch, bring2cone) = _make_ops(lay)
-
-    def gram(G):
-        """G' G as a dict of (1, BT) entries (upper triangle)."""
-        return {(i, j): jnp.sum(G[:, i] * G[:, j], axis=0, keepdims=True)
-                for i in range(nv) for j in range(i + 1)}
 
     def kernel(G_ref, h_ref, c_ref, x_ref, s_ref, z_ref, mu_ref, it_ref):
-        G = G_ref[:]                      # (NR, NV, BT)
-        h = h_ref[:]                      # (NR, BT)
-        c = c_ref[:]                      # (NV, BT)
-        BT = G.shape[-1]
-        dt = G.dtype
+        BT = G_ref.shape[-1]
+        dt = G_ref.dtype
+        # G columns per cone block: pure 2-D values straight from the ref
+        Gc = [(G_ref[:n, v, :], G_ref[n:n + S1, v, :], G_ref[n + S1:, v, :])
+              for v in range(nv)]
+        h = (h_ref[:n, :], h_ref[n:n + S1, :], h_ref[n + S1:, :])
+        c = [c_ref[v:v + 1, :] for v in range(nv)]
+        e_ort = jnp.ones((n, BT), dt)
 
-        # cone identity [1]*n_ort + e1 per SOC, built without scatter
-        # (Mosaic has no scatter lowering)
-        def blk(k, dim):
-            one = jnp.ones((1, BT), dt)
-            zero = jnp.zeros((dim - 1, BT), dt)
-            return jnp.concatenate([one, zero], axis=0)
+        def matvec(cols, x):
+            """sum_v cols[v] * x[v] blockwise; x: list of (1, BT)."""
+            o = cols[0][0] * x[0]
+            b1 = cols[0][1] * x[0]
+            b2 = cols[0][2] * x[0]
+            for v in range(1, nv):
+                o = o + cols[v][0] * x[v]
+                b1 = b1 + cols[v][1] * x[v]
+                b2 = b2 + cols[v][2] * x[v]
+            return o, b1, b2
 
-        e = jnp.concatenate(
-            [jnp.ones((n, BT), dt), blk(1, lay.s1), blk(2, lay.s2)], axis=0)
+        def rmatvec(cols, zt):
+            """G' z -> list of (1, BT)."""
+            return [_dot(cols[v], zt) for v in range(nv)]
+
+        def gram(cols):
+            return {(i, j): _dot(cols[i], cols[j])
+                    for i in range(nv) for j in range(i + 1)}
 
         # --- initialization (pdip.py initialize) -------------------------
-        L0 = _chol_factor(gram(G), nv, jitter)
-        x = _chol_solve(L0, _rmatvec(G, h), nv)
-        s = bring2cone(_matvec(G, x) - h, e)
-        xd = _chol_solve(L0, -c, nv)
-        z = bring2cone(_matvec(G, xd), e)
+        L0 = _chol_factor(gram(Gc), nv, jitter)
+        x = _chol_solve(L0, rmatvec(Gc, h), nv)
+        neg = lambda u: (-u[0], -u[1], -u[2])
+        Gx = matvec(Gc, x)
+        s = _bring2cone(_axpy(jnp.full((1, BT), -1.0, dt), Gx, h), e_ort)
+        xd = _chol_solve(L0, [-ci for ci in c], nv)
+        z = _bring2cone(matvec(Gc, xd), e_ort)
 
-        done = jnp.zeros((1, BT), dtype=jnp.bool_)
+        # NOTE: the loop carry holds the done-mask as f32 (1.0 = done) —
+        # Mosaic cannot legalize scf.for with vector<i1> carries
+        done = jnp.zeros((1, BT), dtype=dt)
         iters = jnp.zeros((1, BT), dtype=jnp.float32)
 
         def body(_, carry):
-            x, s, z, done, iters = carry
-            W = nt(s, z)
-            lam = W_apply(W, z)
-            lam_lam = cone_prod(lam, lam)
-            rx = _rmatvec(G, z) + c
-            rz = s + _matvec(G, x) - h
-            mu = jnp.sum(s * z, axis=0, keepdims=True) / degree
-            new_done = done | (mu < tol) | ~(mu == mu)  # NaN-safe
+            x, s, z, done_f, iters = carry
+            done = done_f > 0.5
+            W = _nt(s, z)
+            lam = _W(W, z)
+            lam_lam = _cone_prod(lam, lam)
+            rx = rmatvec(Gc, z)            # + c below
+            rx = [rx[v] + c[v] for v in range(nv)]
+            Gx = matvec(Gc, x)
+            rz = (s[0] + Gx[0] - h[0], s[1] + Gx[1] - h[1],
+                  s[2] + Gx[2] - h[2])
+            mu = _dot(s, z) / degree
+            new_done = done | (mu < tol) | ~(mu == mu)
 
-            Gt = W_solve_mat(W, G)
+            Gt = [_W(W, Gc[v], inverse=True) for v in range(nv)]
             L = _chol_factor(gram(Gt), nv, jitter)
-            bx = -rx
 
             def newton(lam_ds):
-                b_z = W_apply(W, -rz - W_apply(W, lam_ds), inverse=True)
-                dx = _chol_solve(L, bx + _rmatvec(Gt, b_z), nv)
-                dz = W_apply(W, _matvec(Gt, dx) - b_z, inverse=True)
-                ds = W_apply(W, lam_ds - W_apply(W, dz))
+                wlds = _W(W, lam_ds)
+                rhs = (-rz[0] - wlds[0], -rz[1] - wlds[1], -rz[2] - wlds[2])
+                b_z = _W(W, rhs, inverse=True)
+                bvec = [-rx[v] + _dot(Gt[v], b_z) for v in range(nv)]
+                dx = _chol_solve(L, bvec, nv)
+                Gtdx = matvec(Gt, dx)
+                dz = _W(W, (Gtdx[0] - b_z[0], Gtdx[1] - b_z[1],
+                            Gtdx[2] - b_z[2]), inverse=True)
+                wdz = _W(W, dz)
+                ds = _W(W, (lam_ds[0] - wdz[0], lam_ds[1] - wdz[1],
+                            lam_ds[2] - wdz[2]))
                 return dx, ds, dz
 
-            dx_a, ds_a, dz_a = newton(inv_cone_prod(lam, -lam_lam))
-            a_aff = jnp.minimum(linesearch(s, ds_a), linesearch(z, dz_a))
-            rho = (jnp.sum((s + a_aff * ds_a) * (z + a_aff * dz_a), axis=0,
-                           keepdims=True)
-                   / jnp.sum(s * z, axis=0, keepdims=True))
+            dx_a, ds_a, dz_a = newton(_inv_cone_prod(lam, neg(lam_lam)))
+            a_aff = jnp.minimum(_linesearch(s, ds_a), _linesearch(z, dz_a))
+            rho = (_dot(_axpy(a_aff, s, ds_a), _axpy(a_aff, z, dz_a))
+                   / _dot(s, z))
             sigma = jnp.clip(rho, 0.0, 1.0) ** 3
+            sm = sigma * mu
 
-            ds_rhs = (-lam_lam
-                      - cone_prod(W_apply(W, ds_a, inverse=True),
-                                  W_apply(W, dz_a))
-                      + (sigma * mu) * e)
-            dx_c, ds_c, dz_c = newton(inv_cone_prod(lam, ds_rhs))
+            comb = _cone_prod(_W(W, ds_a, inverse=True), _W(W, dz_a))
+            soc_e = lambda blk: jnp.concatenate(
+                [blk[0:1] + sm, blk[1:]], axis=0)
+            ds_rhs = (-lam_lam[0] - comb[0] + sm,
+                      soc_e(-lam_lam[1] - comb[1]),
+                      soc_e(-lam_lam[2] - comb[2]))
+            dx_c, ds_c, dz_c = newton(_inv_cone_prod(lam, ds_rhs))
             a = jnp.minimum(
-                1.0, 0.99 * jnp.minimum(linesearch(s, ds_c),
-                                        linesearch(z, dz_c)))
+                1.0, 0.99 * jnp.minimum(_linesearch(s, ds_c),
+                                        _linesearch(z, dz_c)))
 
-            xn, sn, zn = x + a * dx_c, s + a * ds_c, z + a * dz_c
-            good = (jnp.all(jnp.isfinite(xn), axis=0, keepdims=True)
-                    & jnp.all(jnp.isfinite(sn), axis=0, keepdims=True)
-                    & jnp.all(jnp.isfinite(zn), axis=0, keepdims=True))
+            xn = [x[v] + a * dx_c[v] for v in range(nv)]
+            sn = _axpy(a, s, ds_c)
+            zn = _axpy(a, z, dz_c)
+            goodx = jnp.ones_like(done)
+            for v in range(nv):
+                goodx = goodx & jnp.isfinite(xn[v])
+            good = goodx & _finite(sn) & _finite(zn)
             act = ~new_done & good
-            x = jnp.where(act, xn, x)
-            s = jnp.where(act, sn, s)
-            z = jnp.where(act, zn, z)
+            x = [jnp.where(act, xn[v], x[v]) for v in range(nv)]
+            s = _select(act, sn, s)
+            z = _select(act, zn, z)
             new_done = new_done | ~good
             iters = iters + jnp.where(act, 1.0, 0.0)
-            return x, s, z, new_done, iters
+            return x, s, z, jnp.where(new_done, 1.0, 0.0).astype(iters.dtype if False else x[0].dtype), iters
 
         x, s, z, done, iters = jax.lax.fori_loop(
             0, max_iters, body, (x, s, z, done, iters))
 
-        x_ref[:] = x
-        s_ref[:] = s
-        z_ref[:] = z
-        mu_ref[:] = jnp.sum(s * z, axis=0, keepdims=True) / degree
+        x_ref[:] = jnp.concatenate(x, axis=0)
+        s_ref[:] = jnp.concatenate(s, axis=0)
+        z_ref[:] = jnp.concatenate(z, axis=0)
+        mu_ref[:] = _dot(s, z) / degree
         it_ref[:] = iters
 
     return kernel

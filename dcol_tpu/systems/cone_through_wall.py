@@ -53,6 +53,7 @@ class ConeThroughWall(System):
 
 
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
+                backend: str = "xla",
                 pdip_jitter: float = 0.0,
                 fd_jacobians: bool = False) -> ConeThroughWall:
     obstacles = (
@@ -63,17 +64,20 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     )
     scene = CollisionScene(
         prim.cone(CONE_H, CONE_BETA), obstacles,
-        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
+        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter, backend))
     return ConeThroughWall(nx=12, nu=6, N=60, dt=0.1, scene=scene,
                            fd_jacobians=fd_jacobians)
 
 
-def make_problem(dtype=jnp.float64):
+def make_problem(dtype=jnp.float64, backend: str = "auto"):
     """(system, params, X0, U0, config); reference :214-246, :252-267."""
+    if backend == "auto":
+        import jax
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
-        sys = make_system(pdip_tol=2e-5, pdip_jitter=1e-6)
+        sys = make_system(pdip_tol=2e-5, pdip_jitter=1e-6, backend=backend)
     else:
-        sys = make_system()
+        sys = make_system(backend=backend)
     N, nx, nu = sys.N, sys.nx, sys.nu
     x0 = np.array([-4, -7, 9, 0.0, 0.0, 0.0, 0, 0, 0, 0, 0, 0])
     xg = np.array([-4.5, 7, 3, 0, 0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0])

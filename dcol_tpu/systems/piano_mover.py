@@ -47,6 +47,7 @@ class PianoMover(System):
 
 
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
+                backend: str = "xla",
                 pdip_jitter: float = 0.0, N: int = 80,
                 dt: float = 0.1, fd_jacobians: bool = False) -> PianoMover:
     robot = prim.rect_prism(2.5, 0.15, 0.01)            # reference :168
@@ -57,18 +58,21 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     )
     scene = CollisionScene(
         robot, obstacles,
-        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
+        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter, backend))
     return PianoMover(nx=6, nu=3, N=N, dt=dt, scene=scene,
                       fd_jacobians=fd_jacobians)
 
 
-def make_problem(dtype=jnp.float64, N: int = 80):
+def make_problem(dtype=jnp.float64, N: int = 80, backend: str = "auto"):
     """(system, params, X0, U0, config) with reference hyperparameters
     (:137-219) and the pinned initial controls (:228)."""
+    if backend == "auto":
+        import jax
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
-        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6)
+        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6, backend=backend)
     else:
-        sys = make_system(N=N)
+        sys = make_system(N=N, backend=backend)
     N, nx, nu = sys.N, sys.nx, sys.nu
     x0 = np.array([1.5, 1.5, 0, 0, 0, 0])
     xg = np.array([3.5, 3.7, 0, 0, np.deg2rad(90), 0])

@@ -79,6 +79,7 @@ def linear_interp_ref(dt, x0, xg, N):
 
 
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
+                backend: str = "xla",
                 pdip_jitter: float = 0.0, N: int = 100,
                 dt: float = 0.08, fd_jacobians: bool = False) -> Quadrotor:
     data = np.load(_DATA)
@@ -98,7 +99,7 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     )
     scene = CollisionScene(
         prim.sphere(0.25), obstacles,
-        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter))
+        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter, backend))
     return Quadrotor(nx=12, nu=4, N=N, dt=dt, scene=scene,
                      fd_jacobians=fd_jacobians)
 
@@ -132,12 +133,15 @@ OBS_P = np.array([
 ])
 
 
-def make_problem(dtype=jnp.float64, N: int = 100):
+def make_problem(dtype=jnp.float64, N: int = 100, backend: str = "auto"):
     """(system, params, X0, U0, config); reference :234-246, :255-262."""
+    if backend == "auto":
+        import jax
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
-        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6)
+        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6, backend=backend)
     else:
-        sys = make_system(N=N)
+        sys = make_system(N=N, backend=backend)
     nx, nu = sys.nx, sys.nu
     x0 = np.array([-8, 0, 4, 0, 0, 0.0, 0, 0, 0, 0, 0, 0])
     xg = np.array([8, 0, 4, 0, 0, 0.0, 0, 0, 0, 0, 0, 0])
