@@ -120,6 +120,20 @@ def prim_blocks(shape: prim.Shape, r, p):
             h_ort = jnp.stack([jnp.zeros((), dt), jnp.zeros((), dt), -bxr, bxr])
         return G_ort, h_ort, G_soc, h_soc
 
+    if k == prim.ELLIPSOID:
+        # ||P^(1/2) Q'(y - r)|| <= alpha:  s = h - Gx in SOC(4) with
+        # G = [[0 0 0 -1], [-P2 Q', 0]], h = [0; -P2 Q' r]  (analogue of the
+        # sphere block; the Julia DCOL primitive absent from the reference)
+        P2 = jnp.asarray(shape.A_np(), dtype=dt)
+        G_ort = jnp.zeros((0, 4), dtype=dt)
+        h_ort = jnp.zeros((0,), dtype=dt)
+        PQt = P2 @ Q.T
+        top = jnp.array([[0.0, 0.0, 0.0, -1.0]], dtype=dt)
+        bot = jnp.concatenate([-PQt, jnp.zeros((3, 1), dtype=dt)], axis=1)
+        G_soc = jnp.concatenate([top, bot], axis=0)
+        h_soc = jnp.concatenate([jnp.zeros((1,), dtype=dt), -PQt @ rw])
+        return G_ort, h_ort, G_soc, h_soc
+
     if k == prim.POLYGON:
         A = jnp.asarray(shape.A_np(), dtype=dt)  # (nf, 2)
         b = jnp.asarray(shape.b_np(), dtype=dt)

@@ -37,6 +37,8 @@ CONE = "cone"
 CAPSULE = "capsule"
 CYLINDER = "cylinder"
 POLYGON = "polygon"
+ELLIPSOID = "ellipsoid"  # in Julia DCOL + the reference's report (§3.1.5)
+                         # but never implemented in the reference Python
 
 # Number of extra (beyond [contact(3); alpha]) decision variables per kind.
 EXTRA_VARS = {
@@ -46,6 +48,7 @@ EXTRA_VARS = {
     CAPSULE: 1,
     CYLINDER: 1,
     POLYGON: 2,
+    ELLIPSOID: 0,
 }
 
 # Number of SOC rows per kind (0 means the primitive contributes no SOC).
@@ -56,6 +59,7 @@ SOC_DIM = {
     CAPSULE: 4,
     CYLINDER: 4,
     POLYGON: 4,
+    ELLIPSOID: 4,
 }
 
 
@@ -88,7 +92,8 @@ class Shape:
     def n_ort(self) -> int:
         if self.kind == POLYTOPE or self.kind == POLYGON:
             return self.n_faces
-        return {SPHERE: 0, CONE: 1, CAPSULE: 2, CYLINDER: 4}[self.kind]
+        return {SPHERE: 0, CONE: 1, CAPSULE: 2, CYLINDER: 4,
+                ELLIPSOID: 0}[self.kind]
 
     @property
     def n_soc(self) -> int:
@@ -135,6 +140,16 @@ def cylinder(radius: float, length: float, **kw) -> Shape:
 
 def polygon(A, b, radius: float, **kw) -> Shape:
     return Shape(kind=POLYGON, A=_t(A), b=_t(b), R=float(radius), **kw)
+
+
+def ellipsoid(a: float, b: float, c: float, **kw) -> Shape:
+    """Axis-aligned ellipsoid with semi-axes (a, b, c) in the body frame:
+    {y : ||diag(1/a,1/b,1/c) Q'(y - r)|| <= 1}.  Stored via the ``A`` slot as
+    the 3x3 inverse-semi-axis matrix P^(1/2) = diag(1/a, 1/b, 1/c)."""
+    import numpy as _np
+
+    P_sqrt = _np.diag([1.0 / a, 1.0 / b, 1.0 / c])
+    return Shape(kind=ELLIPSOID, A=_t(P_sqrt), **kw)
 
 
 def rect_prism(length: float, width: float, height: float) -> Shape:

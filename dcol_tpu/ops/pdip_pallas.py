@@ -319,8 +319,19 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
             iters = iters + jnp.where(act, 1.0, 0.0)
             return x, s, z, jnp.where(new_done, 1.0, 0.0).astype(iters.dtype if False else x[0].dtype), iters
 
-        x, s, z, done, iters = jax.lax.fori_loop(
-            0, max_iters, body, (x, s, z, done, iters))
+        # while_loop with an all-done early exit: the mean iteration count
+        # (~8-12) is well under max_iters, so exiting early wins ~2-3x over a
+        # fixed fori_loop.  The scalar condition reduces the lane mask.
+        def cond(carry):
+            i, x, s, z, done_f, iters = carry
+            return (i < max_iters) & (jnp.min(done_f) < 0.5)
+
+        def wbody(carry):
+            i, *rest = carry
+            return (i + 1,) + tuple(body(i, tuple(rest)))
+
+        _, x, s, z, done, iters = jax.lax.while_loop(
+            cond, wbody, (jnp.zeros((), jnp.int32), x, s, z, done, iters))
 
         x_ref[:] = jnp.concatenate(x, axis=0)
         s_ref[:] = jnp.concatenate(s, axis=0)

@@ -45,8 +45,10 @@ def test_mrp_from_quat():
     )
 
 
-@pytest.mark.parametrize("kind", list(prim.EXTRA_VARS))
-def test_prim_blocks_match_reference(kind):
+@pytest.mark.parametrize(
+    "kind", [k for k in prim.EXTRA_VARS if k != prim.ELLIPSOID])
+def test_prim_blocks_match_reference(kind):  # no ellipsoid golden: the
+    # reference never implemented it (covered by test_ellipsoid_primitive)
     shapes = golden_shapes()
     gold = load("prim_blocks.json")[kind]
     G_ort, h_ort, G_soc, h_soc = assembly.prim_blocks(
@@ -132,3 +134,35 @@ def test_case4_pair_assembles():
                 np.array([3.0, 0, 0]), np.zeros(3))
             assert G.shape == (lay.nr, nv)
             assert np.all(np.isfinite(np.asarray(G)))
+
+
+def test_ellipsoid_primitive():
+    """Ellipsoid (extension beyond the reference Python): a ball-shaped
+    ellipsoid must reproduce sphere proximity exactly; squashing an axis
+    changes alpha in the right direction."""
+    from dcol_tpu.ops.proximity import proximity
+
+    sph = prim.sphere(0.8)
+    ell = prim.ellipsoid(0.8, 0.8, 0.8)
+    obs = prim.sphere(0.5)
+    r1, p1 = np.zeros(3), np.zeros(3)
+    r2, p2 = np.array([3.0, 0.0, 0.0]), np.zeros(3)
+    a_s = float(proximity(sph, obs, r1, p1, r2, p2, tol=1e-10, max_iters=40).alpha)
+    a_e = float(proximity(ell, obs, r1, p1, r2, p2, tol=1e-10, max_iters=40).alpha)
+    np.testing.assert_allclose(a_e, a_s, rtol=1e-7)
+    # analytic: touching when 0.8*a + 0.5*a = 3 -> a = 3/1.3
+    np.testing.assert_allclose(a_s, 3.0 / 1.3, rtol=1e-6)
+
+    # squash along x: smaller x-semi-axis -> larger alpha needed to touch
+    ell2 = prim.ellipsoid(0.4, 0.8, 0.8)
+    a_e2 = float(proximity(ell2, obs, r1, p1, r2, p2, tol=1e-10, max_iters=40).alpha)
+    np.testing.assert_allclose(a_e2, 3.0 / 0.9, rtol=1e-6)
+
+    # gradient flows through ellipsoid poses too
+    import jax
+    import jax.numpy as jnp
+    from dcol_tpu.ops.proximity import proximity_alpha
+
+    g = jax.grad(lambda r: proximity_alpha(ell2, obs, r, p1, r2, p2,
+                                           tol=1e-10, max_iters=40))(jnp.asarray(r1))
+    assert float(g[0]) < 0  # moving +x toward the obstacle reduces alpha
