@@ -208,11 +208,16 @@ def _chol_solve(L, b, nv):
 
 
 def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
-                 jitter: float):
+                 jitter: float, use_warm: bool = False):
     n, S1, S2 = lay.n_ort, lay.s1, lay.s2
     degree = lay.degree
 
-    def kernel(G_ref, h_ref, c_ref, x_ref, s_ref, z_ref, mu_ref, it_ref):
+    def kernel(*refs):
+        if use_warm:
+            (G_ref, h_ref, c_ref, xw_ref, sw_ref, zw_ref,
+             x_ref, s_ref, z_ref, mu_ref, it_ref) = refs
+        else:
+            G_ref, h_ref, c_ref, x_ref, s_ref, z_ref, mu_ref, it_ref = refs
         BT = G_ref.shape[-1]
         dt = G_ref.dtype
         # G columns per cone block: pure 2-D values straight from the ref
@@ -241,14 +246,27 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
             return {(i, j): _dot(cols[i], cols[j])
                     for i in range(nv) for j in range(i + 1)}
 
-        # --- initialization (pdip.py initialize) -------------------------
-        L0 = _chol_factor(gram(Gc), nv, jitter)
-        x = _chol_solve(L0, rmatvec(Gc, h), nv)
         neg = lambda u: (-u[0], -u[1], -u[2])
-        Gx = matvec(Gc, x)
-        s = _bring2cone(_axpy(jnp.full((1, BT), -1.0, dt), Gx, h), e_ort)
-        xd = _chol_solve(L0, [-ci for ci in c], nv)
-        z = _bring2cone(matvec(Gc, xd), e_ort)
+        if use_warm:
+            # previous optimum shifted strictly into the cone interior
+            margin = 1e-3
+            x = [xw_ref[v:v + 1, :] for v in range(nv)]
+            sw = (sw_ref[:n, :] + margin, sw_ref[n:n + S1, :],
+                  sw_ref[n + S1:, :])
+            zw = (zw_ref[:n, :] + margin, zw_ref[n:n + S1, :],
+                  zw_ref[n + S1:, :])
+            soc_m = lambda blk: jnp.concatenate(
+                [blk[0:1] + margin, blk[1:]], axis=0)
+            s = _bring2cone((sw[0], soc_m(sw[1]), soc_m(sw[2])), e_ort)
+            z = _bring2cone((zw[0], soc_m(zw[1]), soc_m(zw[2])), e_ort)
+        else:
+            # cold start (pdip.py initialize)
+            L0 = _chol_factor(gram(Gc), nv, jitter)
+            x = _chol_solve(L0, rmatvec(Gc, h), nv)
+            Gx = matvec(Gc, x)
+            s = _bring2cone(_axpy(jnp.full((1, BT), -1.0, dt), Gx, h), e_ort)
+            xd = _chol_solve(L0, [-ci for ci in c], nv)
+            z = _bring2cone(matvec(Gc, xd), e_ort)
 
         # NOTE: the loop carry holds the done-mask as f32 (1.0 = done) —
         # Mosaic cannot legalize scf.for with vector<i1> carries
@@ -346,9 +364,10 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
                                    "block", "interpret"))
 def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                       max_iters: int = 30, jitter: float = 0.0,
-                      block: int = 256, interpret: bool = False
-                      ) -> SocpSolution:
-    """Drop-in batched solver: c (B, NV), G (B, NR, NV), h (B, NR)."""
+                      block: int = 256, interpret: bool = False,
+                      warm=None) -> SocpSolution:
+    """Drop-in batched solver: c (B, NV), G (B, NR, NV), h (B, NR).
+    ``warm``: optional (x, s, z) triple from a previous nearby solve."""
     B, nr, nv = G.shape
     dt = G.dtype
     Bp = max(block, -(-B // block) * block)
@@ -362,7 +381,9 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
         return a
 
     Gl, hl, cl = to_lanes(G), to_lanes(h), to_lanes(c)
-    kernel = _make_kernel(lay, nv, tol, max_iters, jitter)
+    inputs = [Gl, hl, cl]
+    kernel = _make_kernel(lay, nv, tol, max_iters, jitter,
+                          use_warm=warm is not None)
     grid = (Bp // block,)
 
     def bspec(*dims):
@@ -371,10 +392,17 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                             lambda b: (0,) * nd + (b,),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [bspec(nr, nv), bspec(nr), bspec(nv)]
+    if warm is not None:
+        xw, sw, zw = warm
+        inputs += [to_lanes(xw.astype(dt)), to_lanes(sw.astype(dt)),
+                   to_lanes(zw.astype(dt))]
+        in_specs += [bspec(nv), bspec(nr), bspec(nr)]
+
     x, s, z, mu, iters = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bspec(nr, nv), bspec(nr), bspec(nv)],
+        in_specs=in_specs,
         out_specs=(bspec(nv), bspec(nr), bspec(nr), bspec(1), bspec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((nv, Bp), dt),
@@ -384,7 +412,7 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
             jax.ShapeDtypeStruct((1, Bp), jnp.float32),
         ),
         interpret=interpret,
-    )(Gl, hl, cl)
+    )(*inputs)
 
     back = lambda a: jnp.moveaxis(a, -1, 0)[:B]
     x, s, z = back(x), back(s), back(z)

@@ -48,6 +48,11 @@ class AltroConfig:
     reg_min: float = 1e-6
     reg_max: float = 1e2
     metrics_len: int = 256  # ring-buffer length for per-iteration metrics
+    # line-search acceptance slack, relative to (1 + |old_cost|): 0 is the
+    # reference's strict decrease (ALTRO.py:227); f32 + warm-started PDIP
+    # carries ~1e-5-level evaluation noise that needs a small slack near
+    # line-search plateaus
+    ls_slack: float = 0.0
 
 
 class Metrics(NamedTuple):
@@ -70,6 +75,7 @@ class AltroState(NamedTuple):
     reg: jnp.ndarray      # Riccati regularisation
     hx: jnp.ndarray       # (N, ncx) cached constraint values at X
     hu: jnp.ndarray       # (N-1, ncu) cached control-constraint values at U
+    warm: tuple           # PDIP warm-start triple (x, s, z) over (N*n_obs,)
     iter: jnp.ndarray     # int32
     converged: jnp.ndarray
     failed: jnp.ndarray
@@ -123,18 +129,19 @@ def total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho):
         params, X, hx, hu, mu, mux, lambd, rho)
 
 
-def eval_constraints(sys, params, X, U):
-    """(hx (N, ncx), hu (N-1, ncu)); the hx batch is one fused PDIP solve."""
-    hx = sys.constraints_x_traj(params, X)
+def eval_constraints(sys, params, X, U, warm=None):
+    """(hx (N, ncx), hu (N-1, ncu), warm); the hx batch is one fused PDIP
+    solve, warm-started from a previous nearby evaluation when given."""
+    hx, new_warm = sys.constraints_x_traj(params, X, warm=warm)
     hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
-    return hx, hu
+    return hx, hu, new_warm
 
 
 # ---------------------------------------------------------------------------
 # Backward pass (Riccati recursion with AL terms), ALTRO.py:242-338
 # ---------------------------------------------------------------------------
 
-def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg):
+def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None):
     N = sys.N
     nx, nu = sys.nx, sys.nu
     dt = X.dtype
@@ -144,8 +151,9 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg):
     A, B = jax.vmap(lambda x, u, k: sys.dynamics_jacobians(params, x, u, k))(
         X[:-1], U, ks)
 
-    # fused constraint values + gradients over the whole horizon
-    hx, gx = sys.constraints_x_vg_traj(params, X)
+    # fused constraint values + gradients over the whole horizon; warm-started
+    # from the forward pass's accepted evaluation at the same X (~1-2 iters)
+    hx, gx, _ = sys.constraints_x_vg_traj(params, X, warm=warm)
     hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
     gu = jax.vmap(lambda u: sys.constraints_u_grad(params, u))(U)
 
@@ -223,35 +231,41 @@ def initial_rollout(sys, params, x0, U):
     return jnp.concatenate([Xs, xN[None]], axis=0)
 
 
-def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu):
+def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
+                 warm):
     old_cost = total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho)
     dt = X.dtype
 
-    def attempt(alpha):
+    def attempt(alpha, w):
         Xn, Un = rollout(sys, params, X, U, K, k, alpha)
-        hxn, hun = eval_constraints(sys, params, Xn, Un)
+        hxn, hun, wn = eval_constraints(sys, params, Xn, Un, warm=w)
         Jn = total_cost(sys, params, Xn, Un, hxn, hun, mu, mux, lambd, rho)
-        return Xn, Un, hxn, hun, Jn
+        return Xn, Un, hxn, hun, wn, Jn
+
+    slack = cfg.ls_slack * (1.0 + jnp.abs(old_cost))
 
     def body(carry):
-        i, alpha, _, _, _, _, _, _ = carry
-        Xn, Un, hxn, hun, Jn = attempt(alpha)
-        ok = Jn < old_cost
+        i, alpha, _, _, _, _, _, w, _ = carry
+        Xn, Un, hxn, hun, wn, Jn = attempt(alpha, w)
+        ok = Jn < old_cost + slack
         return (i + 1, jnp.where(ok, alpha, alpha * 0.5), ok, Xn, Un,
-                hxn, hun, Jn)
+                hxn, hun, wn, Jn)
 
     def cond(carry):
         i, _, ok, *_ = carry
         return (i < cfg.max_ls_iters) & ~ok
 
     init = (jnp.zeros((), jnp.int32), jnp.asarray(1.0, dt),
-            jnp.zeros((), bool), X, U, hx, hu, old_cost)
-    _, alpha, ok, Xn, Un, hxn, hun, Jn = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((), bool), X, U, hx, hu, warm, old_cost)
+    _, alpha, ok, Xn, Un, hxn, hun, warmn, Jn = jax.lax.while_loop(
+        cond, body, init)
 
-    # on failure: keep current trajectories, signal alpha = 0 (ALTRO.py:236-239)
+    # on failure: keep current trajectories, signal alpha = 0
+    # (ALTRO.py:236-239); the warm state from the last attempt is kept
+    # either way — it is only an initialization hint
     out = _where(ok, (Xn, Un, hxn, hun, Jn, alpha),
                  (X, U, hx, hu, old_cost, jnp.zeros((), dt)))
-    return out  # X, U, hx, hu, J, alpha
+    return out + (warmn,)  # X, U, hx, hu, J, alpha, warm
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +276,8 @@ def make_initial_state(sys, params, cfg, X0, U0) -> AltroState:
     dt = jnp.result_type(U0)
     U = jnp.asarray(U0, dt)
     X = initial_rollout(sys, params, jnp.asarray(X0[0], dt), U)
-    hx, hu = eval_constraints(sys, params, X, U)
+    hx, hu, warm = eval_constraints(sys, params, X, U)
+    warm = jax.tree_util.tree_map(lambda a: a.astype(dt), warm)
     mu = jnp.zeros((sys.N - 1, sys.ncu), dt)
     mux = jnp.zeros((sys.N, sys.ncx), dt)
     lambd = jnp.zeros((sys.nx,), dt)
@@ -272,7 +287,7 @@ def make_initial_state(sys, params, cfg, X0, U0) -> AltroState:
     return AltroState(
         X=X, U=U, mu=mu, mux=mux, lambd=lambd,
         rho=jnp.asarray(cfg.rho0, dt), reg=jnp.asarray(cfg.reg_min, dt),
-        hx=hx, hu=hu, iter=jnp.zeros((), jnp.int32),
+        hx=hx, hu=hu, warm=warm, iter=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), bool), failed=jnp.zeros((), bool),
         J=J0, delta_J=z, kmax=z, alpha=z, convio=z, metrics=m)
 
@@ -280,10 +295,11 @@ def make_initial_state(sys, params, cfg, X0, U0) -> AltroState:
 def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
     dt = st.X.dtype
     K, k, delta_J, kmax = backward_pass(
-        sys, params, st.X, st.U, st.mu, st.mux, st.lambd, st.rho, st.reg)
-    X, U, hx, hu, J, alpha = forward_pass(
+        sys, params, st.X, st.U, st.mu, st.mux, st.lambd, st.rho, st.reg,
+        warm=st.warm)
+    X, U, hx, hu, J, alpha, warm = forward_pass(
         sys, params, cfg, st.X, st.U, K, k, st.mu, st.mux, st.lambd, st.rho,
-        st.hx, st.hu)
+        st.hx, st.hu, st.warm)
 
     # regularisation update (ALTRO.py:51-74); at-cap failure sets a flag
     failed = st.failed | ((alpha == 0.0) & (st.reg >= cfg.reg_max))
@@ -325,7 +341,8 @@ def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
     )
     return AltroState(
         X=X, U=U, mu=mu, mux=mux, lambd=lambd, rho=rho, reg=reg,
-        hx=hx, hu=hu, iter=it + 1, converged=converged, failed=failed,
+        hx=hx, hu=hu, warm=warm, iter=it + 1, converged=converged,
+        failed=failed,
         J=J, delta_J=delta_J, kmax=kmax, alpha=alpha, convio=convio_out,
         metrics=m)
 

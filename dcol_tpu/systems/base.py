@@ -75,18 +75,31 @@ class CollisionScene:
         return jnp.stack(cs), jnp.stack(Gs), jnp.stack(hs)
 
     # -- solver dispatch --------------------------------------------------
-    def _solve(self, c, G, h):
+    def _solve(self, c, G, h, warm=None):
         """Solve a flat batch of padded pair problems with the configured
-        backend.  c/G/h have one leading batch dim."""
+        backend.  c/G/h have one leading batch dim; ``warm`` is an optional
+        (x, s, z) triple from a previous nearby solve."""
         if self.opts.backend == "pallas":
             from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
 
             return solve_socp_pallas(
                 c, G, h, self.cone_layout, tol=self.opts.tol,
-                max_iters=self.opts.max_iters, jitter=self.opts.jitter)
+                max_iters=self.opts.max_iters, jitter=self.opts.jitter,
+                warm=warm)
         return solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
                           max_iters=self.opts.max_iters,
-                          jitter=self.opts.jitter)
+                          jitter=self.opts.jitter, warm=warm)
+
+    def warm_shape(self, T: int):
+        """Zero-initialised warm-start pytree for a T-knot trajectory (a
+        leading all-zeros x flags "no warm start yet" is never used: callers
+        pass warm=None on the first evaluation)."""
+        import jax.numpy as jnp
+
+        nv, _ = self.dims
+        nr = self.cone_layout.nr
+        B = T * self.n_obs
+        return (jnp.zeros((B, nv)), jnp.ones((B, nr)), jnp.ones((B, nr)))
 
     # -- proximity values -------------------------------------------------
     def alphas(self, r, p, obs_r, obs_p):
@@ -95,26 +108,27 @@ class CollisionScene:
         sol = self._solve(c, G, h)
         return sol.x[..., 3]
 
-    def alphas_traj(self, rs, ps, obs_r, obs_p):
-        """(T, n_obs) alphas for a trajectory of robot poses rs/ps (T, 3):
-        assembly is vmapped per knot, then ALL (T x n_obs) pair problems are
-        ONE flat batched solve (one kernel launch on the pallas backend)."""
+    def alphas_traj(self, rs, ps, obs_r, obs_p, warm=None):
+        """(alphas (T, n_obs), solver warm state) for a trajectory of robot
+        poses rs/ps (T, 3): assembly is vmapped per knot, then ALL (T x n_obs)
+        pair problems are ONE flat batched solve (one kernel launch on the
+        pallas backend)."""
         T = rs.shape[0]
         c, G, h = jax.vmap(
             lambda r_, p_: self.assemble(r_, p_, obs_r, obs_p))(rs, ps)
         flat = lambda a: a.reshape((T * self.n_obs,) + a.shape[2:])
-        sol = self._solve(flat(c), flat(G), flat(h))
-        return sol.x[:, 3].reshape(T, self.n_obs)
+        sol = self._solve(flat(c), flat(G), flat(h), warm=warm)
+        return sol.x[:, 3].reshape(T, self.n_obs), (sol.x, sol.s, sol.z)
 
-    def alphas_and_grads_traj(self, rs, ps, obs_r, obs_p):
-        """(alphas (T, n_obs), d_r (T, n_obs, 3), d_p (T, n_obs, 3)) in one
-        fused solve over the whole trajectory; gradients via the envelope
+    def alphas_and_grads_traj(self, rs, ps, obs_r, obs_p, warm=None):
+        """(alphas (T, n_obs), d_r (T, n_obs, 3), d_p (T, n_obs, 3), warm) in
+        one fused solve over the whole trajectory; gradients via the envelope
         theorem with (x*, z*) frozen (proximity_gradient.py:50-88)."""
         T = rs.shape[0]
         c, G, h = jax.vmap(
             lambda r_, p_: self.assemble(r_, p_, obs_r, obs_p))(rs, ps)
         flat = lambda a: a.reshape((T * self.n_obs,) + a.shape[2:])
-        sol = self._solve(flat(c), flat(G), flat(h))
+        sol = self._solve(flat(c), flat(G), flat(h), warm=warm)
         x = jax.lax.stop_gradient(sol.x).reshape(T, self.n_obs, -1)
         z = jax.lax.stop_gradient(sol.z).reshape(T, self.n_obs, -1)
 
@@ -125,11 +139,11 @@ class CollisionScene:
 
         d_r, d_p = jax.vmap(jax.jacrev(lag_vec, argnums=(0, 1)))(rs, ps, x, z)
         alphas = x[..., 3].reshape(T, self.n_obs)
-        return alphas, d_r, d_p
+        return alphas, d_r, d_p, (sol.x, sol.s, sol.z)
 
     def alphas_and_grads(self, r, p, obs_r, obs_p):
         """Single-pose variant of :meth:`alphas_and_grads_traj`."""
-        a, d_r, d_p = self.alphas_and_grads_traj(
+        a, d_r, d_p, _ = self.alphas_and_grads_traj(
             r[None], p[None], obs_r, obs_p)
         return a[0], d_r[0], d_p[0]
 
@@ -203,12 +217,13 @@ class System:
         r, p = self.robot_pose(x)
         return 1.0 - self.scene.alphas(r, p, params["obs_r"], params["obs_p"])
 
-    def constraints_x_traj(self, params, X):
-        """(T, ncx) constraint values for a state trajectory, as one flat
-        batched PDIP solve."""
+    def constraints_x_traj(self, params, X, warm=None):
+        """((T, ncx) constraint values, solver warm state) for a state
+        trajectory, as one flat batched PDIP solve."""
         rs, ps = jax.vmap(self.robot_pose)(X)
-        return 1.0 - self.scene.alphas_traj(
-            rs, ps, params["obs_r"], params["obs_p"])
+        a, new_warm = self.scene.alphas_traj(
+            rs, ps, params["obs_r"], params["obs_p"], warm=warm)
+        return 1.0 - a, new_warm
 
     def constraints_x_vg(self, params, x):
         """(h (ncx,), dh/dx (ncx, nx)) in one fused solve."""
@@ -217,14 +232,14 @@ class System:
             r, p, params["obs_r"], params["obs_p"])
         return 1.0 - a, self.pose_jacobian_rows(x, d_r, d_p)
 
-    def constraints_x_vg_traj(self, params, X):
-        """(h (T, ncx), dh/dx (T, ncx, nx)) for a state trajectory in one
-        fused batched solve."""
+    def constraints_x_vg_traj(self, params, X, warm=None):
+        """(h (T, ncx), dh/dx (T, ncx, nx), warm) for a state trajectory in
+        one fused batched solve."""
         rs, ps = jax.vmap(self.robot_pose)(X)
-        a, d_r, d_p = self.scene.alphas_and_grads_traj(
-            rs, ps, params["obs_r"], params["obs_p"])
+        a, d_r, d_p, new_warm = self.scene.alphas_and_grads_traj(
+            rs, ps, params["obs_r"], params["obs_p"], warm=warm)
         rows = jax.vmap(self.pose_jacobian_rows)(X, d_r, d_p)
-        return 1.0 - a, rows
+        return 1.0 - a, rows, new_warm
 
     # -- control bounds ---------------------------------------------------
     def constraints_u(self, params, u):

@@ -89,7 +89,8 @@ def make_problem(dtype=jnp.float64, N: int = 80, backend: str = "auto"):
             [[1.5, 3.5, 0.0], [2.0, 0.5, 0.0], [4.5, 2.5, 0.0]], dtype),
         "obs_p": jnp.zeros((3, 3), dtype),
     }
-    cfg = AltroConfig(max_iters=3000, max_ls_iters=20, atol=4e-2,
+    ls_slack = 1e-4 if jnp.dtype(dtype) == jnp.float32 else 0.0
+    cfg = AltroConfig(ls_slack=ls_slack, max_iters=3000, max_ls_iters=20, atol=4e-2,
                       convio_tol=1e-4, rho0=1.0, phi=10.0,
                       reg_min=1e-6, reg_max=1e2)
     X0 = jnp.asarray(np.tile(x0, (N, 1)), dtype)

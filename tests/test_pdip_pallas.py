@@ -70,3 +70,30 @@ def test_pallas_multi_tile():
     assert bool(np.all(out.converged))
     np.testing.assert_allclose(np.asarray(out.x[:, 3]),
                                np.tile(gold, reps), rtol=1e-6, atol=1e-8)
+
+
+def test_pallas_warm_start():
+    """Warm-started re-solve of perturbed problems converges in fewer
+    iterations to the same solution (both backends)."""
+    c, G, h, lay, gold = _padded_batch()
+    cold = solve_socp_pallas(c, G, h, lay, tol=1e-9, max_iters=40,
+                             block=128, interpret=True)
+    Gp = G * (1.0 + 1e-3)
+    hp = h * (1.0 + 1e-3)
+    cold2 = solve_socp_pallas(c, Gp, hp, lay, tol=1e-9, max_iters=40,
+                              block=128, interpret=True)
+    warm2 = solve_socp_pallas(c, Gp, hp, lay, tol=1e-9, max_iters=40,
+                              block=128, interpret=True,
+                              warm=(cold.x, cold.s, cold.z))
+    assert bool(np.all(warm2.converged))
+    np.testing.assert_allclose(np.asarray(warm2.x[:, 3]),
+                               np.asarray(cold2.x[:, 3]), rtol=1e-6, atol=1e-7)
+    assert float(np.mean(np.asarray(warm2.iters))) < float(
+        np.mean(np.asarray(cold2.iters)))
+
+    # xla backend agrees
+    xw = solve_socp(c, Gp, hp, lay, tol=1e-9, max_iters=40,
+                    warm=(cold.x, cold.s, cold.z))
+    assert bool(np.all(xw.converged))
+    np.testing.assert_allclose(np.asarray(xw.x[:, 3]),
+                               np.asarray(cold2.x[:, 3]), rtol=1e-6, atol=1e-7)
