@@ -29,7 +29,7 @@ def main():
     from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
     from dcol_tpu.systems import quadrotor
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     log(f"devices: {jax.devices()}  batch={batch}")
 
     sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)
