@@ -27,6 +27,8 @@ _DATA = os.path.join(os.path.dirname(__file__), "data", "fixtures.npz")
 CONE_H = 2.0
 CONE_BETA = np.deg2rad(22)
 MASS, INERTIA = prim.cone_mass_properties(prim.cone(CONE_H, CONE_BETA))
+MASS = float(MASS)  # python float: numpy-f64 scalars silently promote f32
+                    # arrays when jax_enable_x64 is on
 INERTIA_DIAG = np.diag(INERTIA).copy()
 
 

@@ -40,6 +40,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
         dtype = jnp.float64
     else:
+        jax.config.update("jax_enable_x64", False)  # env may force it on
         dtype = jnp.float32
     sys_, params, X0, U0, cfg = mod.make_problem(dtype=dtype)
 
