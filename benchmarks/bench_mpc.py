@@ -4,6 +4,11 @@
 Usage: python benchmarks/bench_mpc.py [n_scenarios] [n_steps]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import json
 import sys

@@ -5,6 +5,11 @@ Builds the quadrotor scene's (N x 11 obstacles) pair problems and times the
 XLA and Pallas solvers, cold and warm.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

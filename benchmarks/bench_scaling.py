@@ -5,6 +5,11 @@ Usage: python benchmarks/bench_scaling.py [batch1 batch2 ...]
 On a multi-device mesh the batch is sharded over the 'scenario' axis.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time

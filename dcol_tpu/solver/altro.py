@@ -53,6 +53,12 @@ class AltroConfig:
     # carries ~1e-5-level evaluation noise that needs a small slack near
     # line-search plateaus
     ls_slack: float = 0.0
+    # If the inner minimisation has converged (kmax < atol) but the line
+    # search cannot certify a decrease (f32 rounding at an AL plateau), still
+    # perform the dual/penalty update instead of escalating regularisation to
+    # failure.  The reference requires alpha > 0 (ALTRO.py:444) — in f64 the
+    # two gates coincide; this only matters on the f32 TPU path.
+    dual_on_stall: bool = True
 
 
 class Metrics(NamedTuple):
@@ -309,7 +315,7 @@ def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
 
     # dual + penalty update, gated on (alpha > 0) & (kmax < atol)
     # (ALTRO.py:444-481)
-    do_dual = (alpha > 0.0) & (kmax < cfg.atol)
+    do_dual = (kmax < cfg.atol) & ((alpha > 0.0) | cfg.dual_on_stall)
     mask_u = eval_mask(st.mu, hu)
     mu_new = jnp.maximum(0.0, st.mu + st.rho * mask_u * hu)
     convio_u = jnp.max(jnp.abs(hu + jnp.abs(hu)))
