@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--f64", action="store_true",
                         help="force float64 (default on CPU; requires x64)")
     parser.add_argument("--no-viz", action="store_true")
+    parser.add_argument("--verbose", action="store_true",
+                        help="print the iteration table live (one device "
+                             "round-trip per iteration) instead of post-hoc")
     args = parser.parse_args()
 
     import jax
@@ -59,9 +62,16 @@ def main():
 
     print(f"Starting ALTRO optimization ({args.system})...")
     t0 = time.time()
-    st = altro.solve_verbose(sys_, params, cfg, X0, U0)
+    if args.verbose:
+        st = altro.solve_verbose(sys_, params, cfg, X0, U0)
+    else:
+        st = altro.solve(sys_, params, cfg, X0, U0)
+        st.X.block_until_ready()
+        from dcol_tpu.utils import metrics
+
+        print(metrics.iteration_table(st))
     print(f"ALTRO optimization complete in {time.time() - t0:.1f}s "
-          f"(converged={bool(st.converged)}).")
+          f"(converged={bool(st.converged)}, iters={int(st.iter)}).")
 
     if not args.no_viz:
         from dcol_tpu.utils import plots, viz
