@@ -59,6 +59,13 @@ class AltroConfig:
     # failure.  The reference requires alpha > 0 (ALTRO.py:444) — in f64 the
     # two gates coincide; this only matters on the f32 TPU path.
     dual_on_stall: bool = True
+    # Number of line-search candidates evaluated per batched evaluation.  The
+    # candidate set is the reference's backtracking sequence {1, 1/2, 1/4, ..}
+    # and the largest acceptable candidate is chosen, so accept semantics are
+    # IDENTICAL to sequential backtracking — but each chunk is ONE rollout +
+    # ONE fused PDIP batch instead of up to `ls_parallel` sequential ones
+    # (under vmap the sequential loop runs max-attempts-across-scenarios).
+    ls_parallel: int = 8
 
 
 class Metrics(NamedTuple):
@@ -239,39 +246,64 @@ def initial_rollout(sys, params, x0, U):
 
 def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
                  warm):
+    """Backtracking line search with chunked PARALLEL candidate evaluation.
+
+    The reference halves alpha sequentially until the cost decreases
+    (ALTRO.py:212-234).  Here each chunk of `ls_parallel` candidate alphas is
+    evaluated in one batched rollout + one fused PDIP batch, and the largest
+    acceptable candidate wins — the accepted alpha is identical to the
+    sequential algorithm's."""
     old_cost = total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho)
     dt = X.dtype
-
-    def attempt(alpha, w):
-        Xn, Un = rollout(sys, params, X, U, K, k, alpha)
-        hxn, hun, wn = eval_constraints(sys, params, Xn, Un, warm=w)
-        Jn = total_cost(sys, params, Xn, Un, hxn, hun, mu, mux, lambd, rho)
-        return Xn, Un, hxn, hun, wn, Jn
-
     slack = cfg.ls_slack * (1.0 + jnp.abs(old_cost))
+    L = cfg.max_ls_iters
+    C = max(1, min(cfg.ls_parallel, L))
+    n_chunks = -(-L // C)
+    alphas_all = (0.5 ** jnp.arange(n_chunks * C)).astype(dt)
+    valid_all = jnp.arange(n_chunks * C) < L
+
+    def eval_chunk(ci, w):
+        a_c = jax.lax.dynamic_slice(alphas_all, (ci * C,), (C,))
+        valid_c = jax.lax.dynamic_slice(valid_all, (ci * C,), (C,))
+        Xn, Un = jax.vmap(
+            lambda a: rollout(sys, params, X, U, K, k, a))(a_c)
+        hxn, hun, wn = jax.vmap(
+            lambda Xc, Uc: eval_constraints(sys, params, Xc, Uc, warm=w)
+        )(Xn, Un)
+        Jn = jax.vmap(
+            lambda Xc, Uc, hxc, huc: total_cost(
+                sys, params, Xc, Uc, hxc, huc, mu, mux, lambd, rho)
+        )(Xn, Un, hxn, hun)
+        ok = valid_c & (Jn < old_cost + slack)
+        return a_c, Xn, Un, hxn, hun, wn, Jn, ok
 
     def body(carry):
-        i, alpha, _, _, _, _, _, w, _ = carry
-        Xn, Un, hxn, hun, wn, Jn = attempt(alpha, w)
-        ok = Jn < old_cost + slack
-        return (i + 1, jnp.where(ok, alpha, alpha * 0.5), ok, Xn, Un,
-                hxn, hun, wn, Jn)
+        ci, found, sel, w = carry
+        a_c, Xn, Un, hxn, hun, wn, Jn, ok = eval_chunk(ci, w)
+        idx = jnp.argmax(ok)  # first (largest-alpha) acceptable candidate
+        any_ok = jnp.any(ok)
+        pick = lambda a: a[idx]
+        cand = (pick(Xn), pick(Un), pick(hxn), pick(hun), pick(Jn),
+                pick(a_c), jax.tree_util.tree_map(pick, wn))
+        sel = _where(any_ok & ~found, cand, sel)
+        # next chunk warm-starts from this chunk's last candidate
+        w_next = jax.tree_util.tree_map(lambda a: a[-1], wn)
+        return ci + 1, found | any_ok, sel, w_next
 
     def cond(carry):
-        i, _, ok, *_ = carry
-        return (i < cfg.max_ls_iters) & ~ok
+        ci, found, _, _ = carry
+        return (ci < n_chunks) & ~found
 
-    init = (jnp.zeros((), jnp.int32), jnp.asarray(1.0, dt),
-            jnp.zeros((), bool), X, U, hx, hu, warm, old_cost)
-    _, alpha, ok, Xn, Un, hxn, hun, warmn, Jn = jax.lax.while_loop(
-        cond, body, init)
-
-    # on failure: keep current trajectories, signal alpha = 0
-    # (ALTRO.py:236-239); the warm state from the last attempt is kept
-    # either way — it is only an initialization hint
-    out = _where(ok, (Xn, Un, hxn, hun, Jn, alpha),
-                 (X, U, hx, hu, old_cost, jnp.zeros((), dt)))
-    return out + (warmn,)  # X, U, hx, hu, J, alpha, warm
+    zero = jnp.zeros((), dt)
+    sel0 = (X, U, hx, hu, old_cost, zero, warm)  # alpha = 0 fallback
+    _, found, sel, w_last = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), bool), sel0,
+                     warm))
+    Xn, Un, hxn, hun, Jn, alpha, warmn = sel
+    # on total failure the fallback (alpha = 0, unchanged trajectories,
+    # ALTRO.py:236-239) is already selected; keep the last warm hint
+    warmn = _where(found, warmn, w_last)
+    return Xn, Un, hxn, hun, Jn, alpha, warmn
 
 
 # ---------------------------------------------------------------------------
