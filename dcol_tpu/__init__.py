@@ -16,15 +16,18 @@ import jax as _jax
 # want bf16 MXU throughput request it explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache: the solver's jitted programs are large and
-# recompiling them per process costs 30s+; cache them on disk.
+# Persistent compilation cache (opt-in via DCOL_TPU_CACHE=<dir>): the
+# solver's jitted programs are large and recompiling per process costs 30s+.
+# Opt-in only — interactions with this container's remote-compile relay are
+# not fully vetted.
 import os as _os
 
-_cache_dir = _os.environ.get("DCOL_TPU_CACHE", "/tmp/dcol_tpu_jax_cache")
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001 - older jax without the option
-    pass
+_cache_dir = _os.environ.get("DCOL_TPU_CACHE", "")
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - older jax without the option
+        pass
 
 __version__ = "0.1.0"

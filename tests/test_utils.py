@@ -1,0 +1,52 @@
+"""Smoke tests for plots, viz, and metrics utilities (host-side)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from dcol_tpu.solver import altro
+from dcol_tpu.systems import piano_mover, quadrotor
+from dcol_tpu.utils import metrics, plots, viz
+
+
+def test_plots_and_viz_piano(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sys_, params, X0, U0, cfg = piano_mover.make_problem()
+    st = altro.solve(sys_, params, cfg, X0, U0)
+    plots.plot_all("piano_mover", sys_, st)
+    viz.visualize_scene("piano_mover", sys_, params, st)
+    out = os.path.join(tmp_path, "result_images", "piano_mover")
+    for f in ["regularization.png", "constraint_violations.png",
+              "trajectories.png", "scene_topdown.png"]:
+        assert os.path.exists(os.path.join(out, f)), f
+    assert os.path.exists(os.path.join(out, "costs", "cost.png"))
+
+    table = metrics.iteration_table(st)
+    assert "iter" in table and len(table.splitlines()) == int(st.iter) + 2
+
+
+def test_viz_3d_all_primitives(tmp_path, monkeypatch):
+    """The 3-D renderer draws every primitive kind in the quadrotor scene."""
+    monkeypatch.chdir(tmp_path)
+    sys_, params, X0, U0, cfg = quadrotor.make_problem(N=10)
+    X = np.tile(np.asarray(X0[0]), (10, 1))
+    for view in ("side_az_90", "top_down", "custom"):
+        viz.visualize_scene_3d("quadrotor", sys_, params, X, view_mode=view)
+        assert os.path.exists(os.path.join(
+            tmp_path, "result_images", "quadrotor", f"scene_{view}.png"))
+
+
+def test_polytope_vertex_enumeration():
+    from dcol_tpu.geometry import primitives as prim
+
+    shape = prim.rect_prism(2.0, 4.0, 6.0)
+    V = viz.polytope_vertices(shape.A_np(), shape.b_np())
+    assert V.shape == (8, 3)
+    np.testing.assert_allclose(np.abs(V).max(axis=0), [1.0, 2.0, 3.0])
+
+
+def test_mrp_to_euler_roundtrip():
+    p = np.array([0.0, 0.0, np.tan(np.deg2rad(90) / 4)])  # yaw 90
+    euler = plots.mrp_to_euler(p)
+    np.testing.assert_allclose(np.rad2deg(euler), [0, 0, 90], atol=1e-9)
