@@ -59,13 +59,15 @@ class AltroConfig:
     # failure.  The reference requires alpha > 0 (ALTRO.py:444) — in f64 the
     # two gates coincide; this only matters on the f32 TPU path.
     dual_on_stall: bool = True
-    # Number of line-search candidates evaluated per batched evaluation.  The
-    # candidate set is the reference's backtracking sequence {1, 1/2, 1/4, ..}
-    # and the largest acceptable candidate is chosen, so accept semantics are
-    # IDENTICAL to sequential backtracking — but each chunk is ONE rollout +
-    # ONE fused PDIP batch instead of up to `ls_parallel` sequential ones
-    # (under vmap the sequential loop runs max-attempts-across-scenarios).
-    ls_parallel: int = 8
+    # Number of line-search candidates evaluated per batched evaluation after
+    # the alpha=1 probe.  The candidate set is the reference's backtracking
+    # sequence {1, 1/2, 1/4, ...} and the largest acceptable candidate wins,
+    # so accept semantics are IDENTICAL to sequential backtracking for any
+    # value.  1 (default) = sequential probing; >1 amortises deep
+    # backtracking into one fused PDIP batch (measured neutral-to-slower on
+    # a single chip because alpha=1 accepts ~90% of iterations, and large
+    # chunked batches stressed the TPU relay — revisit on real pods).
+    ls_parallel: int = 1
 
 
 class Metrics(NamedTuple):
@@ -257,48 +259,65 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
     dt = X.dtype
     slack = cfg.ls_slack * (1.0 + jnp.abs(old_cost))
     L = cfg.max_ls_iters
-    C = max(1, min(cfg.ls_parallel, L))
-    n_chunks = -(-L // C)
-    alphas_all = (0.5 ** jnp.arange(n_chunks * C)).astype(dt)
-    valid_all = jnp.arange(n_chunks * C) < L
+    C = max(1, min(cfg.ls_parallel, max(1, L - 1)))
+    n_chunks = -(-(L - 1) // C) if L > 1 else 0
+    alphas_all = (0.5 ** jnp.arange(1 + n_chunks * C)).astype(dt)
+    valid_all = jnp.arange(1 + n_chunks * C) < L
 
-    def eval_chunk(ci, w):
-        a_c = jax.lax.dynamic_slice(alphas_all, (ci * C,), (C,))
-        valid_c = jax.lax.dynamic_slice(valid_all, (ci * C,), (C,))
+    def eval_candidates(a_c, valid_c, w):
+        """One batched evaluation of a static-size set of candidate alphas:
+        candidates are FLATTENED into the PDIP batch (one solver call over
+        C*N knots) — a pallas_call under two nested vmaps (scenarios x
+        candidates) miscompiles on TPU, and the flat batch is more
+        lane-efficient anyway."""
+        Cc = a_c.shape[0]
+        N = sys.N
         Xn, Un = jax.vmap(
             lambda a: rollout(sys, params, X, U, K, k, a))(a_c)
-        hxn, hun, wn = jax.vmap(
-            lambda Xc, Uc: eval_constraints(sys, params, Xc, Uc, warm=w)
-        )(Xn, Un)
+        Xf = Xn.reshape(Cc * N, sys.nx)
+        w_t = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a, (Cc,) + (1,) * (a.ndim - 1)), w)
+        hxf, wf = sys.constraints_x_traj(params, Xf, warm=w_t)
+        hxn = hxf.reshape(Cc, N, -1)
+        wn = jax.tree_util.tree_map(
+            lambda a: a.reshape((Cc, a.shape[0] // Cc) + a.shape[1:]), wf)
+        hun = jax.vmap(jax.vmap(lambda u: sys.constraints_u(params, u)))(Un)
         Jn = jax.vmap(
             lambda Xc, Uc, hxc, huc: total_cost(
                 sys, params, Xc, Uc, hxc, huc, mu, mux, lambd, rho)
         )(Xn, Un, hxn, hun)
         ok = valid_c & (Jn < old_cost + slack)
-        return a_c, Xn, Un, hxn, hun, wn, Jn, ok
-
-    def body(carry):
-        ci, found, sel, w = carry
-        a_c, Xn, Un, hxn, hun, wn, Jn, ok = eval_chunk(ci, w)
         idx = jnp.argmax(ok)  # first (largest-alpha) acceptable candidate
-        any_ok = jnp.any(ok)
         pick = lambda a: a[idx]
         cand = (pick(Xn), pick(Un), pick(hxn), pick(hun), pick(Jn),
                 pick(a_c), jax.tree_util.tree_map(pick, wn))
+        w_last = jax.tree_util.tree_map(lambda a: a[-1], wn)
+        return jnp.any(ok), cand, w_last
+
+    zero = jnp.zeros((), dt)
+    sel0 = (X, U, hx, hu, old_cost, zero, warm)  # alpha = 0 fallback
+
+    # phase 1: the full step alpha = 1 alone (accepted on ~90% of
+    # iterations, so the common case costs ONE constraint batch, like the
+    # reference's first attempt — without per-scenario attempt stragglers)
+    ok1, cand1, w1 = eval_candidates(alphas_all[:1], valid_all[:1], warm)
+    sel = _where(ok1, cand1, sel0)
+
+    # phase 2: chunks of C candidates {1/2, 1/4, ...} only while unaccepted
+    def body(carry):
+        ci, found, sel, w = carry
+        a_c = jax.lax.dynamic_slice(alphas_all, (1 + ci * C,), (C,))
+        v_c = jax.lax.dynamic_slice(valid_all, (1 + ci * C,), (C,))
+        any_ok, cand, w_last = eval_candidates(a_c, v_c, w)
         sel = _where(any_ok & ~found, cand, sel)
-        # next chunk warm-starts from this chunk's last candidate
-        w_next = jax.tree_util.tree_map(lambda a: a[-1], wn)
-        return ci + 1, found | any_ok, sel, w_next
+        return ci + 1, found | any_ok, sel, w_last
 
     def cond(carry):
         ci, found, _, _ = carry
         return (ci < n_chunks) & ~found
 
-    zero = jnp.zeros((), dt)
-    sel0 = (X, U, hx, hu, old_cost, zero, warm)  # alpha = 0 fallback
     _, found, sel, w_last = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), bool), sel0,
-                     warm))
+        cond, body, (jnp.zeros((), jnp.int32), ok1, sel, w1))
     Xn, Un, hxn, hun, Jn, alpha, warmn = sel
     # on total failure the fallback (alpha = 0, unchanged trajectories,
     # ALTRO.py:236-239) is already selected; keep the last warm hint
