@@ -90,7 +90,12 @@ class AltroState(NamedTuple):
     reg: jnp.ndarray      # Riccati regularisation
     hx: jnp.ndarray       # (N, ncx) cached constraint values at X
     hu: jnp.ndarray       # (N-1, ncu) cached control-constraint values at U
-    warm: tuple           # PDIP warm-start triple (x, s, z) over (N*n_obs,)
+    warm: tuple           # PDIP solution triple (x, s, z) over (N*n_obs,).
+                          # INVARIANT: always the converged solution at the
+                          # CURRENT X (initial eval / accepted candidate; a
+                          # failed line search keeps the previous one), so
+                          # the backward pass reuses it gradient-side with
+                          # no re-solve.
     iter: jnp.ndarray     # int32
     converged: jnp.ndarray
     failed: jnp.ndarray
@@ -166,9 +171,12 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None):
     A, B = jax.vmap(lambda x, u, k: sys.dynamics_jacobians(params, x, u, k))(
         X[:-1], U, ks)
 
-    # fused constraint values + gradients over the whole horizon; warm-started
-    # from the forward pass's accepted evaluation at the same X (~1-2 iters)
-    hx, gx, _ = sys.constraints_x_vg_traj(params, X, warm=warm)
+    # constraint values + envelope gradients from the forward pass's accepted
+    # solution at this exact X — NO PDIP solve here (see AltroState.warm)
+    if warm is not None:
+        hx, gx = sys.constraints_x_vg_from_solution(params, X, warm)
+    else:
+        hx, gx, _ = sys.constraints_x_vg_traj(params, X)
     hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
     gu = jax.vmap(lambda u: sys.constraints_u_grad(params, u))(U)
 
@@ -320,8 +328,8 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
         cond, body, (jnp.zeros((), jnp.int32), ok1, sel, w1))
     Xn, Un, hxn, hun, Jn, alpha, warmn = sel
     # on total failure the fallback (alpha = 0, unchanged trajectories,
-    # ALTRO.py:236-239) is already selected; keep the last warm hint
-    warmn = _where(found, warmn, w_last)
+    # ALTRO.py:236-239) keeps the INCOMING warm: it is the converged
+    # solution at the unchanged X (the AltroState.warm invariant)
     return Xn, Un, hxn, hun, Jn, alpha, warmn
 
 

@@ -147,6 +147,23 @@ class CollisionScene:
             r[None], p[None], obs_r, obs_p)
         return a[0], d_r[0], d_p[0]
 
+    def alphas_and_grads_from_solution(self, rs, ps, obs_r, obs_p, sol):
+        """Envelope gradients from an ALREADY-CONVERGED solver state for the
+        SAME poses (no PDIP solve): ``sol`` = (x, s, z) over (T*n_obs,).
+        Used by the backward pass, which evaluates at exactly the trajectory
+        the accepted forward candidate solved."""
+        T = rs.shape[0]
+        x = jax.lax.stop_gradient(sol[0]).reshape(T, self.n_obs, -1)
+        z = jax.lax.stop_gradient(sol[2]).reshape(T, self.n_obs, -1)
+
+        def lag_vec(r_, p_, x_, z_):
+            _, G_, h_ = self.assemble(r_, p_, obs_r, obs_p)
+            return jnp.sum(z_ * (jnp.einsum("orv,ov->or", G_, x_) - h_),
+                           axis=-1)
+
+        d_r, d_p = jax.vmap(jax.jacrev(lag_vec, argnums=(0, 1)))(rs, ps, x, z)
+        return x[..., 3], d_r, d_p
+
 
 @dataclasses.dataclass(frozen=True)
 class System:
@@ -240,6 +257,14 @@ class System:
             rs, ps, params["obs_r"], params["obs_p"], warm=warm)
         rows = jax.vmap(self.pose_jacobian_rows)(X, d_r, d_p)
         return 1.0 - a, rows, new_warm
+
+    def constraints_x_vg_from_solution(self, params, X, sol):
+        """(h, dh/dx) from an already-converged solution at X — no solve."""
+        rs, ps = jax.vmap(self.robot_pose)(X)
+        a, d_r, d_p = self.scene.alphas_and_grads_from_solution(
+            rs, ps, params["obs_r"], params["obs_p"], sol)
+        rows = jax.vmap(self.pose_jacobian_rows)(X, d_r, d_p)
+        return 1.0 - a, rows
 
     # -- control bounds ---------------------------------------------------
     def constraints_u(self, params, u):
