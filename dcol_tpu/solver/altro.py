@@ -59,6 +59,14 @@ class AltroConfig:
     # failure.  The reference requires alpha > 0 (ALTRO.py:444) — in f64 the
     # two gates coincide; this only matters on the f32 TPU path.
     dual_on_stall: bool = True
+    # Backward pass gradient source.  False (default): re-solve the PDIP
+    # batch at X warm-started from the accepted candidate's solution (1-2
+    # polish iterations — cheap and keeps the envelope gradients at full
+    # solver tolerance).  True: reuse the accepted solution directly with no
+    # solve (AltroState.warm invariant) — saves the polish batch but the
+    # unpolished f32 gradients measurably slow outer convergence (49-83 vs
+    # 45-51 iterations on the quadrotor), a net loss at batch scale.
+    grads_from_accepted: bool = False
     # Number of line-search candidates evaluated per batched evaluation after
     # the alpha=1 probe.  The candidate set is the reference's backtracking
     # sequence {1, 1/2, 1/4, ...} and the largest acceptable candidate wins,
@@ -161,7 +169,8 @@ def eval_constraints(sys, params, X, U, warm=None):
 # Backward pass (Riccati recursion with AL terms), ALTRO.py:242-338
 # ---------------------------------------------------------------------------
 
-def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None):
+def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
+                  grads_from_accepted=False):
     N = sys.N
     nx, nu = sys.nx, sys.nu
     dt = X.dtype
@@ -171,12 +180,14 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None):
     A, B = jax.vmap(lambda x, u, k: sys.dynamics_jacobians(params, x, u, k))(
         X[:-1], U, ks)
 
-    # constraint values + envelope gradients from the forward pass's accepted
-    # solution at this exact X — NO PDIP solve here (see AltroState.warm)
-    if warm is not None:
+    # constraint values + envelope gradients at X.  Default: one PDIP batch
+    # warm-started from the accepted candidate's converged solution at this
+    # exact X (1-2 polish iterations); optionally reuse that solution with no
+    # solve (see AltroConfig.grads_from_accepted).
+    if warm is not None and grads_from_accepted:
         hx, gx = sys.constraints_x_vg_from_solution(params, X, warm)
     else:
-        hx, gx, _ = sys.constraints_x_vg_traj(params, X)
+        hx, gx, _ = sys.constraints_x_vg_traj(params, X, warm=warm)
     hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
     gu = jax.vmap(lambda u: sys.constraints_u_grad(params, u))(U)
 
@@ -361,7 +372,7 @@ def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
     dt = st.X.dtype
     K, k, delta_J, kmax = backward_pass(
         sys, params, st.X, st.U, st.mu, st.mux, st.lambd, st.rho, st.reg,
-        warm=st.warm)
+        warm=st.warm, grads_from_accepted=cfg.grads_from_accepted)
     X, U, hx, hu, J, alpha, warm = forward_pass(
         sys, params, cfg, st.X, st.U, K, k, st.mu, st.mux, st.lambd, st.rho,
         st.hx, st.hu, st.warm)

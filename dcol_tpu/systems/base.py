@@ -35,6 +35,7 @@ class ProximityOptions:
     max_iters: int = 30
     jitter: float = 0.0
     backend: str = "xla"     # "xla" (batched lax ops) or "pallas" (fused kernel)
+    block: int = 256         # pallas batch-tile width (lanes per grid step)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,7 +86,7 @@ class CollisionScene:
             return solve_socp_pallas(
                 c, G, h, self.cone_layout, tol=self.opts.tol,
                 max_iters=self.opts.max_iters, jitter=self.opts.jitter,
-                warm=warm)
+                block=self.opts.block, warm=warm)
         return solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
                           max_iters=self.opts.max_iters,
                           jitter=self.opts.jitter, warm=warm)
