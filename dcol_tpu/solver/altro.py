@@ -231,9 +231,13 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
         dJ = dJ + Qu @ k_t
         return (Vx_new, Vxx_new, dJ), (K_t, k_t)
 
+    # unroll: the per-step tensors are tiny (nx<=12), so the scan is
+    # dispatch-latency-bound on TPU; unrolling fuses several steps per loop
+    # iteration
     inputs = (A, B, l_x, l_u, l_xx, l_uu)
     (Vx0, Vxx0, delta_J), (K, k) = jax.lax.scan(
-        step, (Vx_N, Vxx_N, jnp.zeros((), dt)), inputs, reverse=True)
+        step, (Vx_N, Vxx_N, jnp.zeros((), dt)), inputs, reverse=True,
+        unroll=4)
     kmax = jnp.max(jnp.linalg.norm(k, axis=-1))  # ALTRO.py:34-48
     return K, k, delta_J, kmax
 
@@ -251,7 +255,7 @@ def rollout(sys, params, X, U, K, k, alpha):
         x_next = sys.discrete_dynamics(params, x, u, t)
         return x_next, (x, u)
 
-    xN, (Xs, Un) = jax.lax.scan(step, X[0], (X[:-1], U, K, k, ks))
+    xN, (Xs, Un) = jax.lax.scan(step, X[0], (X[:-1], U, K, k, ks), unroll=4)
     Xn = jnp.concatenate([Xs, xN[None]], axis=0)
     return Xn, Un
 
@@ -261,7 +265,7 @@ def initial_rollout(sys, params, x0, U):
         u, t = inp
         return sys.discrete_dynamics(params, x, u, t), x
 
-    xN, Xs = jax.lax.scan(step, x0, (U, jnp.arange(sys.N - 1)))
+    xN, Xs = jax.lax.scan(step, x0, (U, jnp.arange(sys.N - 1)), unroll=4)
     return jnp.concatenate([Xs, xN[None]], axis=0)
 
 

@@ -132,15 +132,23 @@ class CollisionScene:
         sol = self._solve(flat(c), flat(G), flat(h), warm=warm)
         x = jax.lax.stop_gradient(sol.x).reshape(T, self.n_obs, -1)
         z = jax.lax.stop_gradient(sol.z).reshape(T, self.n_obs, -1)
+        d_r, d_p = self._envelope_grads(rs, ps, obs_r, obs_p, x, z)
+        alphas = x[..., 3].reshape(T, self.n_obs)
+        return alphas, d_r, d_p, (sol.x, sol.s, sol.z)
+
+    def _envelope_grads(self, rs, ps, obs_r, obs_p, x, z):
+        """d alpha / d(r, p) per (knot, obstacle) with (x, z) frozen
+        (proximity_gradient.py:50-88).  FORWARD-mode over the 6 pose dims:
+        the per-pair Lagrangian is scalar but shares one assembly across all
+        obstacles, so 6 JVP columns of the batched assembly beat n_obs
+        reverse sweeps (measured 8 ms -> ~2 ms per iteration at batch 64)."""
 
         def lag_vec(r_, p_, x_, z_):
             _, G_, h_ = self.assemble(r_, p_, obs_r, obs_p)
             return jnp.sum(z_ * (jnp.einsum("orv,ov->or", G_, x_) - h_),
                            axis=-1)
 
-        d_r, d_p = jax.vmap(jax.jacrev(lag_vec, argnums=(0, 1)))(rs, ps, x, z)
-        alphas = x[..., 3].reshape(T, self.n_obs)
-        return alphas, d_r, d_p, (sol.x, sol.s, sol.z)
+        return jax.vmap(jax.jacfwd(lag_vec, argnums=(0, 1)))(rs, ps, x, z)
 
     def alphas_and_grads(self, r, p, obs_r, obs_p):
         """Single-pose variant of :meth:`alphas_and_grads_traj`."""
@@ -156,13 +164,7 @@ class CollisionScene:
         T = rs.shape[0]
         x = jax.lax.stop_gradient(sol[0]).reshape(T, self.n_obs, -1)
         z = jax.lax.stop_gradient(sol[2]).reshape(T, self.n_obs, -1)
-
-        def lag_vec(r_, p_, x_, z_):
-            _, G_, h_ = self.assemble(r_, p_, obs_r, obs_p)
-            return jnp.sum(z_ * (jnp.einsum("orv,ov->or", G_, x_) - h_),
-                           axis=-1)
-
-        d_r, d_p = jax.vmap(jax.jacrev(lag_vec, argnums=(0, 1)))(rs, ps, x, z)
+        d_r, d_p = self._envelope_grads(rs, ps, obs_r, obs_p, x, z)
         return x[..., 3], d_r, d_p
 
 
