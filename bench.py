@@ -1,17 +1,25 @@
 """Benchmark: batched cluttered-hallway quadrotor ALTRO solves on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+Prints ONE JSON line covering all three BASELINE.json metrics:
+  {"metric": "quadrotor_altro_solves_per_s_per_chip", "value": N,
+   "unit": "solves/s", "vs_baseline": N,
+   "p50_solve_latency_s": N, "pdip_iters_per_s": N, ...}
 
 Baseline: the reference (pure Python/NumPy) solves this exact problem
 (N=100, 11 obstacles, identical tolerances) once in 2886.5 s on CPU
 (BASELINE.md; /root/reference/quadrotor.prof).  vs_baseline is the ratio of
-our per-chip solve rate to the reference's 1/2886.5 solves/s.
+our per-chip solve rate to the reference's 1/2886.5 solves/s.  The reference's
+PDIP rate is 377,311 solves x ~9.8 iters / 2653.5 s = ~1393 PDIP iters/s.
+
+Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay —
+every timed region here ends with a real device fetch (``jax.device_get``)
+before the clock is read.
 
 Extra diagnostic lines go to stderr; stdout carries only the JSON line.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -19,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 REF_QUADROTOR_SECONDS = 2886.5  # reference quadrotor.prof total (BASELINE.md)
+REF_PDIP_ITERS_PER_S = 377311 * 9.8 / 2653.5  # quadrotor.prof, BASELINE.md
 
 
 def log(*a):
@@ -38,25 +47,74 @@ def main():
 
     t0 = time.time()
     st = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
-    st.X.block_until_ready()
+    n_conv = int(jax.device_get(jnp.sum(st.converged)))  # real device sync
     log(f"compile+first solve: {time.time() - t0:.1f}s")
-    n_conv = int(jnp.sum(st.converged))
-    log(f"converged {n_conv}/{batch}, mean iters {float(jnp.mean(st.iter)):.1f}")
+    log(f"converged {n_conv}/{batch}, "
+        f"mean iters {float(jax.device_get(jnp.mean(st.iter))):.1f}")
 
-    # timed runs (vary the seed so no caching shortcut is possible)
+    # --- throughput: timed batched runs (seed varies: no caching shortcut) --
     reps = 3
+    mean_iters = []
     t0 = time.time()
     for r in range(reps):
         params_b, X0_b, U0_b = perturb_scenarios(
             params, X0, U0, n=batch, seed=r + 1, x0_sigma=0.02)
         st = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
-        st.X.block_until_ready()
+        c = int(jax.device_get(jnp.sum(st.converged)))   # sync BEFORE clock
+        mean_iters.append(float(jax.device_get(jnp.mean(st.iter))))
         log(f"rep {r}: {time.time() - t0:.1f}s cumulative, "
-            f"converged {int(jnp.sum(st.converged))}/{batch}, "
-            f"mean iters {float(jnp.mean(st.iter)):.1f}")
+            f"converged {c}/{batch}, mean iters {mean_iters[-1]:.1f}")
     wall = (time.time() - t0) / reps
     solves_per_s = batch / wall
     log(f"wall per batch: {wall:.2f}s -> {solves_per_s:.2f} solves/s")
+
+    # --- p50 single-solve latency (batch=1, median of 5) --------------------
+    p1, x1, u1 = perturb_scenarios(params, X0, U0, n=1, seed=9, x0_sigma=0.02)
+    st1 = solve_batch(sys_, p1, cfg, x1, u1)
+    jax.device_get(st1.converged)  # compile + sync
+    lats = []
+    for r in range(5):
+        p1, x1, u1 = perturb_scenarios(
+            params, X0, U0, n=1, seed=10 + r, x0_sigma=0.02)
+        t0 = time.time()
+        st1 = solve_batch(sys_, p1, cfg, x1, u1)
+        jax.device_get(st1.converged)
+        lats.append(time.time() - t0)
+    p50 = statistics.median(lats)
+    log(f"single-solve latency: p50 {p50*1e3:.0f} ms "
+        f"(all: {[round(l*1e3) for l in lats]} ms)")
+
+    # --- PDIP iters/s: the hot kernel alone at the solver's working batch ---
+    # (batch scenarios) x (N knots) x (11 obstacles) padded pair problems,
+    # cold-started — the same kernel shape ALTRO launches every iteration.
+    from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
+
+    scene = sys_.scene
+    rs, ps = jax.vmap(sys_.robot_pose)(params["Xref"])
+    c_, G_, h_ = jax.jit(lambda rs, ps: jax.vmap(
+        lambda r, p: scene.assemble(r, p, params["obs_r"], params["obs_p"])
+    )(rs, ps))(rs, ps)
+    B0 = c_.shape[0] * c_.shape[1]
+    mult = max(1, batch // 4)  # kernel batch comparable to ALTRO's launches
+    cf = jnp.tile(c_.reshape(B0, -1), (mult, 1))
+    Gf = jnp.tile(G_.reshape(B0, *G_.shape[2:]), (mult, 1, 1))
+    hf = jnp.tile(h_.reshape(B0, -1), (mult, 1))
+    B = B0 * mult
+    pd = jax.jit(lambda c, G, h: solve_socp_pallas(
+        c, G, h, scene.cone_layout, tol=scene.opts.tol,
+        max_iters=scene.opts.max_iters, jitter=scene.opts.jitter))
+    out = pd(cf, Gf, hf)
+    total_it = float(jax.device_get(jnp.sum(out.iters)))
+    t0 = time.time()
+    pd_reps = 10
+    for _ in range(pd_reps):
+        out = pd(cf, Gf, hf)
+        jax.device_get(out.iters[0])
+    pd_wall = (time.time() - t0) / pd_reps
+    pdip_iters_per_s = total_it / pd_wall
+    log(f"pdip kernel: {B} pair problems, {total_it:.0f} iters in "
+        f"{pd_wall*1e3:.1f} ms -> {pdip_iters_per_s:.3g} iters/s, "
+        f"{B/pd_wall:.3g} cold solves/s")
 
     baseline_rate = 1.0 / REF_QUADROTOR_SECONDS
     print(json.dumps({
@@ -64,6 +122,12 @@ def main():
         "value": round(solves_per_s, 4),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline_rate, 1),
+        "batch": batch,
+        "mean_altro_iters": round(sum(mean_iters) / len(mean_iters), 1),
+        "p50_solve_latency_s": round(p50, 4),
+        "pdip_iters_per_s": round(pdip_iters_per_s, 0),
+        "pdip_iters_per_s_vs_baseline": round(
+            pdip_iters_per_s / REF_PDIP_ITERS_PER_S, 1),
     }))
 
 

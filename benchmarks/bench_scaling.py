@@ -3,6 +3,10 @@ sharded-mesh path (scaling-efficiency report, BASELINE.md north star).
 
 Usage: python benchmarks/bench_scaling.py [batch1 batch2 ...]
 On a multi-device mesh the batch is sharded over the 'scenario' axis.
+
+Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay, so
+every timed region ends with a real device fetch (``jax.device_get``) before
+the clock is read.
 """
 
 import os as _os
@@ -25,35 +29,42 @@ def main():
 
     batches = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
     n_dev = jax.device_count()
-    print(f"devices: {n_dev} x {jax.devices()[0].platform}")
+    print(f"devices: {n_dev} x {jax.devices()[0].platform}", flush=True)
     sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)
     mesh = scenario_mesh() if n_dev > 1 else None
 
     results = []
     for b in batches:
-        params_b, X0_b, U0_b = perturb_scenarios(
-            params, X0, U0, n=b, seed=0, x0_sigma=0.02)
-        if mesh is not None and b % n_dev == 0:
-            params_b, X0_b, U0_b = shard_scenarios(mesh, params_b, X0_b, U0_b)
-        st = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
-        st.X.block_until_ready()
-        t0 = time.time()
-        reps = 3
-        for r in range(reps):
-            params_b, X0_b, U0_b = perturb_scenarios(
-                params, X0, U0, n=b, seed=r + 1, x0_sigma=0.02)
+        def make(seed):
+            pb, xb, ub = perturb_scenarios(
+                params, X0, U0, n=b, seed=seed, x0_sigma=0.02)
             if mesh is not None and b % n_dev == 0:
-                params_b, X0_b, U0_b = shard_scenarios(
-                    mesh, params_b, X0_b, U0_b)
-            st = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
-            st.X.block_until_ready()
+                pb, xb, ub = shard_scenarios(mesh, pb, xb, ub)
+            return pb, xb, ub
+
+        t0 = time.time()
+        pb, xb, ub = make(0)
+        st = solve_batch(sys_, pb, cfg, xb, ub)
+        conv0 = int(jax.device_get(jnp.sum(st.converged)))  # real sync
+        print(f"batch {b}: compile+first solve {time.time()-t0:.1f}s, "
+              f"converged {conv0}/{b}", flush=True)
+
+        reps = 3
+        convs, iters_mean = [], []
+        t0 = time.time()
+        for r in range(reps):
+            pb, xb, ub = make(r + 1)
+            st = solve_batch(sys_, pb, cfg, xb, ub)
+            convs.append(int(jax.device_get(jnp.sum(st.converged))))
+            iters_mean.append(float(jax.device_get(jnp.mean(st.iter))))
         wall = (time.time() - t0) / reps
         row = {"batch": b, "wall_s": round(wall, 3),
                "solves_per_s": round(b / wall, 2),
-               "converged": int(jnp.sum(st.converged)),
-               "mean_iters": round(float(jnp.mean(st.iter)), 1)}
+               "converged": convs[-1],
+               "mean_iters": round(sum(iters_mean) / reps, 1)}
         results.append(row)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
+    print("ALL:", json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":

@@ -7,7 +7,7 @@ reference implementation (``/root/reference/primitives/problem_matrices.py:213``
     R(p) = I + (8 [p]x^2 + 4 (1 - p'p) [p]x) / (1 + p'p)^2
 
 which matches the reference's expanded entries exactly (verified in
-``tests/test_mrp.py`` against golden values).  Everything is traced JAX so the
+``tests/test_geometry.py`` against golden values).  Everything is traced JAX so the
 rotation is differentiable w.r.t. ``p`` and batches under ``vmap``.
 """
 

@@ -335,7 +335,7 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
             z = _select(act, zn, z)
             new_done = new_done | ~good
             iters = iters + jnp.where(act, 1.0, 0.0)
-            return x, s, z, jnp.where(new_done, 1.0, 0.0).astype(iters.dtype if False else x[0].dtype), iters
+            return x, s, z, jnp.where(new_done, 1.0, 0.0).astype(x[0].dtype), iters
 
         # while_loop with an all-done early exit: the mean iteration count
         # (~8-12) is well under max_iters, so exiting early wins ~2-3x over a

@@ -47,7 +47,12 @@ class AltroConfig:
     phi: float = 10.0
     reg_min: float = 1e-6
     reg_max: float = 1e2
-    metrics_len: int = 256  # ring-buffer length for per-iteration metrics
+    # Ring-buffer length for per-iteration metrics.  Iterations past this
+    # index all write the LAST slot (altro_iteration clamps), so histories of
+    # runs longer than metrics_len iterations are silently truncated — plenty
+    # for the reference systems (<=60 iters) but raise it for harder
+    # scenarios when you need the full history (max_iters is 3000).
+    metrics_len: int = 256
     # line-search acceptance slack, relative to (1 + |old_cost|): 0 is the
     # reference's strict decrease (ALTRO.py:227); f32 + warm-started PDIP
     # carries ~1e-5-level evaluation noise that needs a small slack near
@@ -56,8 +61,11 @@ class AltroConfig:
     # If the inner minimisation has converged (kmax < atol) but the line
     # search cannot certify a decrease (f32 rounding at an AL plateau), still
     # perform the dual/penalty update instead of escalating regularisation to
-    # failure.  The reference requires alpha > 0 (ALTRO.py:444) — in f64 the
-    # two gates coincide; this only matters on the f32 TPU path.
+    # failure.  The reference requires alpha > 0 (ALTRO.py:444); this relaxed
+    # gate exists for f32 rounding only, so it is applied ONLY on sub-f64
+    # dtypes — in f64 the solver always uses the reference gate
+    # (tests/test_altro.py pins that the relaxed gate never fires on the f64
+    # goldens anyway).
     dual_on_stall: bool = True
     # Backward pass gradient source.  False (default): re-solve the PDIP
     # batch at X warm-started from the accepted candidate's solution (1-2
@@ -352,21 +360,32 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
 # Outer AL iteration
 # ---------------------------------------------------------------------------
 
-def make_initial_state(sys, params, cfg, X0, U0) -> AltroState:
+def make_initial_state(sys, params, cfg, X0, U0, duals=None,
+                       rho=None) -> AltroState:
+    """Initial solver state: rollout from X0[0] under U0, zero duals.
+
+    ``duals`` = (mu, mux, lambd) and ``rho`` optionally seed the
+    augmented-Lagrangian state from a previous nearby solve (MPC
+    warm-starting across ticks); defaults reproduce the reference's cold
+    start (ALTRO.py:396-403)."""
     dt = jnp.result_type(U0)
     U = jnp.asarray(U0, dt)
     X = initial_rollout(sys, params, jnp.asarray(X0[0], dt), U)
     hx, hu, warm = eval_constraints(sys, params, X, U)
     warm = jax.tree_util.tree_map(lambda a: a.astype(dt), warm)
-    mu = jnp.zeros((sys.N - 1, sys.ncu), dt)
-    mux = jnp.zeros((sys.N, sys.ncx), dt)
-    lambd = jnp.zeros((sys.nx,), dt)
-    J0 = total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, cfg.rho0)
+    if duals is None:
+        mu = jnp.zeros((sys.N - 1, sys.ncu), dt)
+        mux = jnp.zeros((sys.N, sys.ncx), dt)
+        lambd = jnp.zeros((sys.nx,), dt)
+    else:
+        mu, mux, lambd = (jnp.asarray(d, dt) for d in duals)
+    rho0 = jnp.asarray(cfg.rho0 if rho is None else rho, dt)
+    J0 = total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho0)
     z = jnp.zeros((), dt)
     m = Metrics(*(jnp.zeros((cfg.metrics_len,), dt) for _ in range(7)))
     return AltroState(
         X=X, U=U, mu=mu, mux=mux, lambd=lambd,
-        rho=jnp.asarray(cfg.rho0, dt), reg=jnp.asarray(cfg.reg_min, dt),
+        rho=rho0, reg=jnp.asarray(cfg.reg_min, dt),
         hx=hx, hu=hu, warm=warm, iter=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), bool), failed=jnp.zeros((), bool),
         J=J0, delta_J=z, kmax=z, alpha=z, convio=z, metrics=m)
@@ -388,8 +407,9 @@ def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
                               jnp.maximum(cfg.reg_min, st.reg / 10.0), st.reg))
 
     # dual + penalty update, gated on (alpha > 0) & (kmax < atol)
-    # (ALTRO.py:444-481)
-    do_dual = (kmax < cfg.atol) & ((alpha > 0.0) | cfg.dual_on_stall)
+    # (ALTRO.py:444-481); the stall relaxation applies only below f64
+    dual_on_stall = cfg.dual_on_stall and jnp.dtype(dt) != jnp.float64
+    do_dual = (kmax < cfg.atol) & ((alpha > 0.0) | dual_on_stall)
     mask_u = eval_mask(st.mu, hu)
     mu_new = jnp.maximum(0.0, st.mu + st.rho * mask_u * hu)
     convio_u = jnp.max(jnp.abs(hu + jnp.abs(hu)))
@@ -428,11 +448,13 @@ def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
 
 
 @partial(jax.jit, static_argnames=("sys", "cfg"))
-def solve(sys, params, cfg: AltroConfig, X0, U0) -> AltroState:
+def solve(sys, params, cfg: AltroConfig, X0, U0, duals=None,
+          rho=None) -> AltroState:
     """Full jitted solve: init rollout + while_loop of AL iterations.
     vmap over (params, X0, U0) for scenario batches — per-scenario
-    convergence freezes members via the active mask."""
-    st0 = make_initial_state(sys, params, cfg, X0, U0)
+    convergence freezes members via the active mask.  ``duals``/``rho``
+    warm-start the AL state (see make_initial_state)."""
+    st0 = make_initial_state(sys, params, cfg, X0, U0, duals=duals, rho=rho)
 
     def body(st):
         active = ~(st.converged | st.failed)
@@ -445,26 +467,35 @@ def solve(sys, params, cfg: AltroConfig, X0, U0) -> AltroState:
     return jax.lax.while_loop(cond, body, st0)
 
 
-def solve_verbose(sys, params, cfg: AltroConfig, X0, U0) -> AltroState:
+def solve_verbose(sys, params, cfg: AltroConfig, X0, U0, callback=None,
+                  print_table: bool = True) -> AltroState:
     """Python-loop variant printing the reference's iteration table
-    (ALTRO.py:437-440)."""
+    (ALTRO.py:437-440).  ``callback(itr, st)``, if given, runs host-side
+    after every iteration — e.g. to capture the X/U trajectory history the
+    reference keeps in ``X_hist``/``U_hist`` (ALTRO.py:402-403,419-420) for
+    the per-iteration trajectory plots."""
     step = jax.jit(
         lambda p, s: altro_iteration(sys, p, cfg, s))
     st = jax.jit(
         lambda p, a, b: make_initial_state(sys, p, cfg, a, b))(params, X0, U0)
     for itr in range(cfg.max_iters):
         st = step(params, st)
-        if itr % 50 == 0:
-            print("iter     J           dJ        |d|         a        reg"
-                  "         rho")
-            print("-" * 69)
-        print(f"{itr+1:3d}   {float(st.J):10.3e}  {float(st.delta_J):9.2e}"
-              f"  {float(st.kmax):9.2e}  {float(st.alpha):6.4f}"
-              f"   {float(st.reg):9.2e}   {float(st.rho):9.2e}")
+        if print_table:
+            if itr % 50 == 0:
+                print("iter     J           dJ        |d|         a        reg"
+                      "         rho")
+                print("-" * 69)
+            print(f"{itr+1:3d}   {float(st.J):10.3e}  {float(st.delta_J):9.2e}"
+                  f"  {float(st.kmax):9.2e}  {float(st.alpha):6.4f}"
+                  f"   {float(st.reg):9.2e}   {float(st.rho):9.2e}")
+        if callback is not None:
+            callback(itr, st)
         if bool(st.converged):
-            print(f"Convergence reached in {itr} iterations.")
+            if print_table:
+                print(f"Convergence reached in {itr} iterations.")
             break
         if bool(st.failed):
-            print("Solve failed (regularization cap reached).")
+            if print_table:
+                print("Solve failed (regularization cap reached).")
             break
     return st

@@ -91,17 +91,6 @@ class CollisionScene:
                           max_iters=self.opts.max_iters,
                           jitter=self.opts.jitter, warm=warm)
 
-    def warm_shape(self, T: int):
-        """Zero-initialised warm-start pytree for a T-knot trajectory (a
-        leading all-zeros x flags "no warm start yet" is never used: callers
-        pass warm=None on the first evaluation)."""
-        import jax.numpy as jnp
-
-        nv, _ = self.dims
-        nr = self.cone_layout.nr
-        B = T * self.n_obs
-        return (jnp.zeros((B, nv)), jnp.ones((B, nr)), jnp.ones((B, nr)))
-
     # -- proximity values -------------------------------------------------
     def alphas(self, r, p, obs_r, obs_p):
         """(n_obs,) proximity alphas for one robot pose (value only)."""

@@ -107,6 +107,104 @@ def plot_trajectories(system: str, X: np.ndarray, U: np.ndarray, dt: float):
     plt.close(fig)
 
 
+_STATE_PANELS = {
+    # system -> (pos idx, vel idx, orient idx, angvel idx, orient_is_mrp)
+    "piano_mover": ([0, 1], [2, 3], [4], [5], False),
+    "quadrotor": ([0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11], True),
+    "coneThroughWall": ([0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11], True),
+}
+
+_CONTROL_PANELS = {
+    # system -> list of (filename stem, indices, labels, ylabel, title)
+    "piano_mover": [
+        ("linear_acceleration", [0, 1], [r"$a_{v_x}$", r"$a_{v_y}$"],
+         "Linear Acceleration [m/s²]", "Linear Acceleration Trajectories"),
+        ("angular_acceleration", [2], [r"$a_{\omega}$"],
+         "Angular Acceleration [deg/s²]", "Angular Acceleration Trajectories"),
+    ],
+    "coneThroughWall": [
+        ("forces", [0, 1, 2], [r"$f_1$", r"$f_2$", r"$f_3$"],
+         "Forces [N]", "Force Trajectories"),
+        ("torques", [3, 4, 5], [r"$\tau_1$", r"$\tau_2$", r"$\tau_3$"],
+         "Torques [N·m]", "Torque Trajectories"),
+    ],
+    "quadrotor": [
+        ("control_trajectories", [0, 1, 2, 3],
+         [r"$w_1$", r"$w_2$", r"$w_3$", r"$w_4$"],
+         "Rotor Angular Velocity [rad/s]", "Control Trajectories"),
+    ],
+}
+
+
+def plot_trajectory_history(system: str, X, U, dt: float, it: int):
+    """Per-iteration state/control trajectory snapshots — parity with the
+    reference's ``utils/plots.py:76-286`` (four state panels: position,
+    linear velocity, orientation, angular velocity; per-system control
+    splits), written as ``..._iter_{it}.png`` under
+    ``result_images/<system>/{state,control}_trajectories_history/``."""
+    plt = _mpl()
+    X, U = np.asarray(X), np.asarray(U)
+    t = np.arange(X.shape[0]) * dt
+    tu = t[:-1]
+    d_x = _outdir(system, "state_trajectories_history")
+    d_u = _outdir(system, "control_trajectories_history")
+
+    pos, vel, ori, angv, is_mrp = _STATE_PANELS[system]
+    panels = [
+        ("position", pos, "Position [m]", "Position Trajectories", X),
+        ("velocity", vel, "Linear Velocity [m/s]",
+         "Linear Velocity Trajectories", X),
+        ("angular_velocity", angv, "Angular Velocity [rad/s]",
+         "Angular Velocity Trajectories", X),
+    ]
+    axis_labels = ["$x$", "$y$", "$z$"], ["$v_x$", "$v_y$", "$v_z$"], \
+        ["$\\omega_x$", "$\\omega_y$", "$\\omega_z$"]
+    if system == "piano_mover":
+        axis_labels = ["$x$", "$y$"], ["$v_x$", "$v_y$"], ["$\\omega$"]
+    for (stem, idx, ylab, title, arr), labs in zip(panels, axis_labels):
+        plt.figure(figsize=(12, 6))
+        for i, j in enumerate(idx):
+            plt.plot(t, arr[:, j], label=labs[i])
+        plt.xlabel("Time [s]"); plt.ylabel(ylab); plt.title(title)
+        plt.legend(); plt.grid()
+        plt.savefig(os.path.join(d_x, f"{stem}_iter_{it}.png"), dpi=100)
+        plt.close()
+
+    # orientation panel: MRP -> Euler for the 6-DOF systems, raw theta for
+    # the planar piano mover (reference plots.py:188-208)
+    plt.figure(figsize=(12, 6))
+    if is_mrp:
+        eul = mrp_to_euler(X[:, ori])
+        for i, lab in enumerate([r"$\phi$", r"$\theta$", r"$\psi$"]):
+            plt.plot(t, eul[:, i], label=lab)
+    else:
+        plt.plot(t, X[:, ori[0]], label=r"$\theta$")
+    plt.xlabel("Time [s]"); plt.ylabel("Orientation [rad]")
+    plt.title("Orientation Trajectories"); plt.legend(); plt.grid()
+    plt.savefig(os.path.join(d_x, f"orientation_iter_{it}.png"), dpi=100)
+    plt.close()
+
+    for stem, idx, labs, ylab, title in _CONTROL_PANELS[system]:
+        plt.figure(figsize=(12, 6))
+        for i, j in enumerate(idx):
+            plt.plot(tu, U[:, j], label=labs[i])
+        plt.xlabel("Time [s]"); plt.ylabel(ylab); plt.title(title)
+        plt.legend(); plt.grid()
+        plt.savefig(os.path.join(d_u, f"{stem}_iter_{it}.png"), dpi=100)
+        plt.close()
+
+
+def plot_history(system: str, history, dt: float, every: int = 10):
+    """Render trajectory-history snapshots from a list of per-iteration
+    (X, U) pairs: every ``every``-th iteration plus the final one (the
+    reference renders at ``iter % 10 == 0`` and at convergence,
+    ALTRO.py:424-425,472-474)."""
+    n = len(history)
+    for i, (X, U) in enumerate(history):
+        if i % every == 0 or i == n - 1:
+            plot_trajectory_history(system, X, U, dt, i)
+
+
 def plot_all(system: str, sys_, st):
     """Render every diagnostic plot from a finished AltroState."""
     n = int(min(int(st.iter), st.metrics.J.shape[0]))

@@ -22,12 +22,18 @@ def main():
     parser.add_argument("--f64", action="store_true",
                         help="force float64 (default on CPU; requires x64)")
     parser.add_argument("--no-viz", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on CPU (this container force-sets the axon "
+                             "TPU platform; the env var alone is not enough)")
     parser.add_argument("--verbose", action="store_true",
                         help="print the iteration table live (one device "
                              "round-trip per iteration) instead of post-hoc")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from dcol_tpu.solver import altro
@@ -62,8 +68,22 @@ def main():
 
     print(f"Starting ALTRO optimization ({args.system})...")
     t0 = time.time()
-    if args.verbose:
-        st = altro.solve_verbose(sys_, params, cfg, X0, U0)
+    history = [] if not args.no_viz else None
+    if args.verbose or history is not None:
+        # python-loop solve: live table and/or host-side X/U history capture
+        # for the per-iteration trajectory plots (reference ALTRO.py:424-425)
+        import numpy as np
+
+        cb = None
+        if history is not None:
+            cb = lambda itr, st: history.append(
+                (np.asarray(st.X), np.asarray(st.U)))
+        st = altro.solve_verbose(sys_, params, cfg, X0, U0, callback=cb,
+                                 print_table=args.verbose)
+        if not args.verbose:
+            from dcol_tpu.utils import metrics
+
+            print(metrics.iteration_table(st))
     else:
         st = altro.solve(sys_, params, cfg, X0, U0)
         st.X.block_until_ready()
@@ -77,6 +97,7 @@ def main():
         from dcol_tpu.utils import plots, viz
 
         plots.plot_all(args.system, sys_, st)
+        plots.plot_history(args.system, history, sys_.dt)
         viz.visualize_scene(args.system, sys_, params, st)
         print(f"Wrote plots + scene renders to result_images/{args.system}/")
 

@@ -76,16 +76,72 @@ def test_checkpoint_resume_continues(tmp_path):
                                atol=1e-9)
 
 
-def test_mpc_reaches_goal():
-    """Receding-horizon MPC on the piano mover drives toward the goal with
-    warm-started low-iteration solves."""
+def test_mpc_tracks_optimal_plan():
+    """Noiseless MPC with converged warm-started ticks must follow the
+    offline converged plan's pace: the closed-loop state at tick k stays
+    close to the offline optimum's knot k (fixed-horizon regulation replans
+    reproduce the optimal trajectory when undisturbed)."""
     import dataclasses
 
     sys_, params, X0, U0, cfg = _small_problem()
-    cfg_mpc = dataclasses.replace(cfg, max_iters=6)
+    st = altro.solve(sys_, params, cfg, X0, U0)  # offline optimum
+    cfg_mpc = dataclasses.replace(cfg, max_iters=40)
     res = mpc.mpc_run(sys_, params, cfg_mpc, X0[0], U0, n_steps=25)
+    assert bool(jnp.all(jnp.isfinite(res.X_applied)))
+    err = np.linalg.norm(np.asarray(res.X_applied)[25, :2]
+                         - np.asarray(st.X)[25, :2])
+    assert float(err) < 0.3, err
+    # and it is actually progressing toward the goal
     d0 = float(jnp.linalg.norm(X0[0][:2] - params["Xref"][-1][:2]))
     d1 = float(jnp.linalg.norm(res.X_applied[-1][:2]
                                - params["Xref"][-1][:2]))
-    assert d1 < 0.4 * d0  # closed the gap substantially in 25 ticks
+    assert d1 < 0.6 * d0
+
+
+def test_mpc_dual_warm_start_cuts_iterations():
+    """Carrying the AL duals + penalty across ticks (carry_duals=True) must
+    converge ticks in fewer ALTRO iterations than U-only warm starts, with a
+    closed-loop trajectory at least as close to the goal."""
+    import dataclasses
+
+    sys_, params, X0, U0, cfg = _small_problem()
+    cfg_mpc = dataclasses.replace(cfg, max_iters=40)
+    warm = mpc.mpc_run(sys_, params, cfg_mpc, X0[0], U0, n_steps=12,
+                       carry_duals=True)
+    cold = mpc.mpc_run(sys_, params, cfg_mpc, X0[0], U0, n_steps=12,
+                       carry_duals=False)
+    # after the first tick (identical state, no duals to carry yet), the
+    # dual-warm ticks must be cheaper on average
+    it_warm = float(jnp.mean(warm.iters[1:]))
+    it_cold = float(jnp.mean(cold.iters[1:]))
+    assert it_warm < it_cold, (it_warm, it_cold)
+    d_warm = float(jnp.linalg.norm(warm.X_applied[-1][:2]
+                                   - params["Xref"][-1][:2]))
+    d_cold = float(jnp.linalg.norm(cold.X_applied[-1][:2]
+                                   - params["Xref"][-1][:2]))
+    assert d_warm <= d_cold * 1.25 + 1e-3
+    assert bool(jnp.all(jnp.isfinite(warm.X_applied)))
+
+
+def test_mpc_receding_horizon_tracks_path():
+    """xref_path slides the tracked reference window per tick (true receding
+    horizon instead of fixed-goal regulation)."""
+    import dataclasses
+
+    sys_, params, X0, U0, cfg = _small_problem()
+    n_steps = 10
+    # straight-line reference path from start to goal, long enough to cover
+    # every tick's horizon window
+    T = n_steps + sys_.N
+    a = np.linspace(0.0, 1.0, T)[:, None]
+    path = jnp.asarray((1 - a) * np.asarray(X0[0]) +
+                       a * np.asarray(params["Xref"][-1]))
+    cfg_mpc = dataclasses.replace(cfg, max_iters=6)
+    res = mpc.mpc_run(sys_, params, cfg_mpc, X0[0], U0, n_steps=n_steps,
+                      xref_path=path)
     assert bool(jnp.all(jnp.isfinite(res.X_applied)))
+    # the closed-loop trajectory should stay near the early reference path
+    # (a sliding window tracks the path; fixed-goal regulation overshoots it)
+    err = np.linalg.norm(np.asarray(res.X_applied)[1:, :2]
+                         - np.asarray(path)[1:n_steps + 1, :2], axis=1)
+    assert float(err.mean()) < 0.5, err

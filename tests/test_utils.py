@@ -46,6 +46,52 @@ def test_polytope_vertex_enumeration():
     np.testing.assert_allclose(np.abs(V).max(axis=0), [1.0, 2.0, 3.0])
 
 
+def test_trajectory_history_plots(tmp_path, monkeypatch):
+    """Per-iteration trajectory history plots (reference utils/plots.py:76-286
+    parity): four state panels + per-system control splits for all three
+    systems, written every 10 iterations + final."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    cases = {
+        "piano_mover": (6, 3, ["linear_acceleration", "angular_acceleration"]),
+        "quadrotor": (12, 4, ["control_trajectories"]),
+        "coneThroughWall": (12, 6, ["forces", "torques"]),
+    }
+    for system, (nx, nu, control_stems) in cases.items():
+        hist = [(rng.normal(size=(20, nx)), rng.normal(size=(19, nu)))
+                for _ in range(12)]
+        plots.plot_history(system, hist, dt=0.1, every=10)
+        d = os.path.join(tmp_path, "result_images", system)
+        for it in (0, 10, 11):  # every 10th + final
+            for stem in ["position", "velocity", "orientation",
+                         "angular_velocity"]:
+                f = os.path.join(d, "state_trajectories_history",
+                                 f"{stem}_iter_{it}.png")
+                assert os.path.exists(f), f
+            for stem in control_stems:
+                f = os.path.join(d, "control_trajectories_history",
+                                 f"{stem}_iter_{it}.png")
+                assert os.path.exists(f), f
+        # NOT written for in-between iterations
+        assert not os.path.exists(os.path.join(
+            d, "state_trajectories_history", "position_iter_5.png"))
+
+
+def test_solve_verbose_callback_captures_history():
+    """solve_verbose invokes the host callback once per iteration with the
+    current state (the history-capture hook used by main.py)."""
+    import dataclasses
+
+    sys_, params, X0, U0, cfg = piano_mover.make_problem()
+    cfg = dataclasses.replace(cfg, max_iters=3)
+    seen = []
+    st = altro.solve_verbose(sys_, params, cfg, X0, U0, print_table=False,
+                             callback=lambda itr, s: seen.append(
+                                 (itr, np.asarray(s.X))))
+    assert [i for i, _ in seen] == [0, 1, 2]
+    np.testing.assert_array_equal(seen[-1][1], np.asarray(st.X))
+
+
 def test_mrp_to_euler_roundtrip():
     p = np.array([0.0, 0.0, np.tan(np.deg2rad(90) / 4)])  # yaw 90
     euler = plots.mrp_to_euler(p)

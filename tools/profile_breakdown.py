@@ -11,16 +11,27 @@ effort goes where the milliseconds are.  Pieces:
   - rollout alone (batched line-search candidate rollout)
   - dynamics jacobians alone
 
-Usage: python tools/profile_breakdown.py [batch]
+Each piece is jitted and timed IN ISOLATION, so the component times will not
+sum to full_iteration: inside the full jit XLA fuses across components, and
+the residual vs full_iteration reflects that fusion/overlap, not an
+unprofiled stage.
+
+Usage: python tools/profile_breakdown.py [batch] [iters_per_solve]
 """
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Mean ALTRO iterations per converged quadrotor solve, measured by bench.py at
+# batch 64 (f32, pallas).  Used only to extrapolate solves/s from the
+# per-iteration time; override via argv[2] if the measured mean drifts.
+MEAN_ITERS_PER_SOLVE = 47.5
 
 
 def timeit(fn, *args, reps=20, warmup=2):
@@ -67,13 +78,14 @@ def main():
                         )(params_b, st)
     results["full_iteration"] = timeit(full_iter, st, params_b)
 
-    # 2. backward pass
+    # 2. backward pass (explicitly the WITH-solve path, so the comparison to
+    #    backward_pass_nosolve below is meaningful regardless of cfg defaults)
     @jax.jit
     def bwd(st, params_b):
         def one(p, s):
             return altro.backward_pass(
                 sys_, p, s.X, s.U, s.mu, s.mux, s.lambd, s.rho, s.reg,
-                warm=s.warm, grads_from_accepted=cfg.grads_from_accepted)
+                warm=s.warm, grads_from_accepted=False)
         return jax.vmap(one)(params_b, st)
     results["backward_pass"] = timeit(bwd, st, params_b)
 
@@ -150,12 +162,16 @@ def main():
         return jax.vmap(one)(params_b, st)
     results["backward_pass_nosolve"] = timeit(bwd_nosolve, st, params_b)
 
-    print(f"\n== breakdown at batch={batch} (ms per call) ==")
+    iters_per_solve = (float(sys.argv[2]) if len(sys.argv) > 2
+                       else MEAN_ITERS_PER_SOLVE)
+    print(f"\n== breakdown at batch={batch} (ms per call, components timed in"
+          " isolation; they will not sum to full_iteration — see docstring) ==")
     for k_, v in results.items():
         print(f"  {k_:28s} {v:8.2f} ms")
     fi = results["full_iteration"]
     print(f"\n  full iteration {fi:.2f} ms -> "
-          f"{batch / (fi / 1e3 * 47.5):.1f} solves/s at 47.5 iters")
+          f"{batch / (fi / 1e3 * iters_per_solve):.1f} solves/s assuming "
+          f"{iters_per_solve} mean iters/solve (bench.py-measured; argv[2])")
 
 
 if __name__ == "__main__":
