@@ -60,10 +60,13 @@ def main():
         params_b, X0_b, U0_b = perturb_scenarios(
             params, X0, U0, n=batch, seed=r + 1, x0_sigma=0.02)
         st = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
-        c = int(jax.device_get(jnp.sum(st.converged)))   # sync BEFORE clock
-        mean_iters.append(float(jax.device_get(jnp.mean(st.iter))))
+        # one fused fetch per rep (each device_get is a full relay RTT)
+        c, mi = jax.device_get(jnp.stack(
+            [jnp.sum(st.converged).astype(jnp.float32),
+             jnp.mean(st.iter.astype(jnp.float32))]))
+        mean_iters.append(float(mi))
         log(f"rep {r}: {time.time() - t0:.1f}s cumulative, "
-            f"converged {c}/{batch}, mean iters {mean_iters[-1]:.1f}")
+            f"converged {int(c)}/{batch}, mean iters {mi:.1f}")
     wall = (time.time() - t0) / reps
     solves_per_s = batch / wall
     log(f"wall per batch: {wall:.2f}s -> {solves_per_s:.2f} solves/s")
@@ -105,11 +108,14 @@ def main():
         max_iters=scene.opts.max_iters, jitter=scene.opts.jitter))
     out = pd(cf, Gf, hf)
     total_it = float(jax.device_get(jnp.sum(out.iters)))
+    # One device fetch costs a full relay round trip (~30 ms), so queue the
+    # reps asynchronously and sync ONCE at the end (execution is FIFO on the
+    # chip: the last result waits for all queued programs).
+    pd_reps = 20
     t0 = time.time()
-    pd_reps = 10
     for _ in range(pd_reps):
         out = pd(cf, Gf, hf)
-        jax.device_get(out.iters[0])
+    jax.device_get(out.iters[0])
     pd_wall = (time.time() - t0) / pd_reps
     pdip_iters_per_s = total_it / pd_wall
     log(f"pdip kernel: {B} pair problems, {total_it:.0f} iters in "

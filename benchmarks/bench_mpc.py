@@ -1,7 +1,15 @@
 """Closed-loop MPC throughput: scenario-parallel receding-horizon quadrotor
-(the BASELINE.json multi-host MPC config, single-host slice of it).
+(the BASELINE.json multi-host MPC config; single-host slice of it).
 
-Usage: python benchmarks/bench_mpc.py [n_scenarios] [n_steps]
+On a multi-device mesh (real chips, or the virtual 8-device CPU mesh used by
+tests — see tests/conftest.py) the scenario batch is sharded over the
+'scenario' axis, so the same script records both the one-chip TPU number and
+the 8192-scenario sharded dryrun artifact (BASELINE.json config #5 analogue).
+
+Usage: python benchmarks/bench_mpc.py [n_scenarios] [n_steps] [horizon_N]
+
+Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay, so
+every timed region ends with a real device fetch (``jax.device_get``).
 """
 
 import os as _os
@@ -19,13 +27,18 @@ import jax.numpy as jnp
 
 
 def main():
+    from dcol_tpu.parallel.mesh import scenario_mesh
     from dcol_tpu.solver import mpc
     from dcol_tpu.systems import quadrotor
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    horizon = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    n_dev = jax.device_count()
+    print(f"devices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
     sys_, params, X0, U0, cfg = quadrotor.make_problem(
-        dtype=jnp.float32, N=40)
+        dtype=jnp.float32, N=horizon)
     cfg = dataclasses.replace(cfg, max_iters=8)  # warm-started ticks
 
     import numpy as np
@@ -34,22 +47,29 @@ def main():
     x0s = jnp.asarray(
         np.asarray(X0[0])[None] + rng.normal(0, 0.02, (n_scen, sys_.nx)),
         jnp.float32)
+    sharded = n_dev > 1 and n_scen % n_dev == 0
+    if sharded:
+        mesh = scenario_mesh()
+        x0s = jax.device_put(x0s, NamedSharding(mesh, P("scenario", None)))
 
     run = jax.jit(jax.vmap(
         lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, n_steps)))
     out = run(x0s)
-    out.X_applied.block_until_ready()
+    jax.device_get(out.iters[0])  # real device sync (compile + first run)
     t0 = time.time()
     out = run(x0s)
-    out.X_applied.block_until_ready()
+    mean_iters = float(jax.device_get(jnp.mean(out.iters.astype(jnp.float32))))
+    finite = bool(jax.device_get(jnp.all(jnp.isfinite(out.X_applied))))
     wall = time.time() - t0
     ticks = n_scen * n_steps
     print(json.dumps({
-        "scenarios": n_scen, "steps": n_steps,
+        "scenarios": n_scen, "steps": n_steps, "horizon_N": horizon,
+        "devices": n_dev, "sharded": sharded,
         "wall_s": round(wall, 3),
         "mpc_ticks_per_s": round(ticks / wall, 1),
-        "finite": bool(jnp.all(jnp.isfinite(out.X_applied))),
-        "mean_solve_iters": round(float(jnp.mean(out.iters)), 2),
+        "solves_per_s": round(ticks / wall, 1),
+        "finite": finite,
+        "mean_solve_iters": round(mean_iters, 2),
     }))
 
 

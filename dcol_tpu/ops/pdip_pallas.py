@@ -364,12 +364,15 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
                                    "block", "interpret"))
 def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                       max_iters: int = 30, jitter: float = 0.0,
-                      block: int = 256, interpret: bool = False,
+                      block: int = 1024, interpret: bool = False,
                       warm=None) -> SocpSolution:
     """Drop-in batched solver: c (B, NV), G (B, NR, NV), h (B, NR).
-    ``warm``: optional (x, s, z) triple from a previous nearby solve."""
+    ``warm``: optional (x, s, z) triple from a previous nearby solve.
+    ``block`` is the lane-tile width; it is clamped down to the 128-padded
+    batch so small batches never pay instruction issue for unused lanes."""
     B, nr, nv = G.shape
     dt = G.dtype
+    block = max(128, min(block, -(-B // 128) * 128))
     Bp = max(block, -(-B // block) * block)
 
     def to_lanes(a):

@@ -79,11 +79,14 @@ class AltroConfig:
     # the alpha=1 probe.  The candidate set is the reference's backtracking
     # sequence {1, 1/2, 1/4, ...} and the largest acceptable candidate wins,
     # so accept semantics are IDENTICAL to sequential backtracking for any
-    # value.  1 (default) = sequential probing; >1 amortises deep
-    # backtracking into one fused PDIP batch (measured neutral-to-slower on
-    # a single chip because alpha=1 accepts ~90% of iterations, and large
-    # chunked batches stressed the TPU relay — revisit on real pods).
-    ls_parallel: int = 1
+    # value (pinned by tests/test_altro.py).  1 = sequential probing; >1
+    # amortises deep backtracking into one fused PDIP batch.  Once inactive
+    # members were masked out of the backtracking loop (active=...), chunked
+    # evaluation became a clear win under vmap — the loop trip count is the
+    # max over the batch, so halving a straggler's chunk count helps every
+    # member: quadrotor batch-64 TPU, same process: C=1 41.0, C=2 53.0,
+    # C=4 45.9 solves/s.
+    ls_parallel: int = 2
 
 
 class Metrics(NamedTuple):
@@ -278,14 +281,23 @@ def initial_rollout(sys, params, x0, U):
 
 
 def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
-                 warm):
+                 warm, active=None):
     """Backtracking line search with chunked PARALLEL candidate evaluation.
 
     The reference halves alpha sequentially until the cost decreases
     (ALTRO.py:212-234).  Here each chunk of `ls_parallel` candidate alphas is
     evaluated in one batched rollout + one fused PDIP batch, and the largest
     acceptable candidate wins — the accepted alpha is identical to the
-    sequential algorithm's."""
+    sequential algorithm's.
+
+    ``active``: under vmap the backtracking while_loop runs in lock-step
+    across the scenario batch, so an already-converged/failed member (whose
+    result the caller discards via its active mask) would otherwise fail the
+    strict-decrease test at its optimum and drag the WHOLE batch through all
+    ``max_ls_iters`` chunk evaluations every remaining iteration — measured
+    62-87 ms/iter vs 18 ms mid-solve at batch 64.  Passing the caller's
+    active flag seeds ``found`` for inactive members, so they never force
+    phase-2 chunks.  Active members' results are bit-identical either way."""
     old_cost = total_cost(sys, params, X, U, hx, hu, mu, mux, lambd, rho)
     dt = X.dtype
     slack = cfg.ls_slack * (1.0 + jnp.abs(old_cost))
@@ -333,6 +345,7 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
     # reference's first attempt — without per-scenario attempt stragglers)
     ok1, cand1, w1 = eval_candidates(alphas_all[:1], valid_all[:1], warm)
     sel = _where(ok1, cand1, sel0)
+    found0 = ok1 if active is None else (ok1 | ~active)
 
     # phase 2: chunks of C candidates {1/2, 1/4, ...} only while unaccepted
     def body(carry):
@@ -348,7 +361,7 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
         return (ci < n_chunks) & ~found
 
     _, found, sel, w_last = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), ok1, sel, w1))
+        cond, body, (jnp.zeros((), jnp.int32), found0, sel, w1))
     Xn, Un, hxn, hun, Jn, alpha, warmn = sel
     # on total failure the fallback (alpha = 0, unchanged trajectories,
     # ALTRO.py:236-239) keeps the INCOMING warm: it is the converged
@@ -391,14 +404,18 @@ def make_initial_state(sys, params, cfg, X0, U0, duals=None,
         J=J0, delta_J=z, kmax=z, alpha=z, convio=z, metrics=m)
 
 
-def altro_iteration(sys, params, cfg, st: AltroState) -> AltroState:
+def altro_iteration(sys, params, cfg, st: AltroState,
+                    active=None) -> AltroState:
+    """One AL iteration.  ``active`` (optional bool) marks this member as
+    still-active in a batched solve; inactive members skip line-search
+    backtracking work their caller will discard (see forward_pass)."""
     dt = st.X.dtype
     K, k, delta_J, kmax = backward_pass(
         sys, params, st.X, st.U, st.mu, st.mux, st.lambd, st.rho, st.reg,
         warm=st.warm, grads_from_accepted=cfg.grads_from_accepted)
     X, U, hx, hu, J, alpha, warm = forward_pass(
         sys, params, cfg, st.X, st.U, K, k, st.mu, st.mux, st.lambd, st.rho,
-        st.hx, st.hu, st.warm)
+        st.hx, st.hu, st.warm, active=active)
 
     # regularisation update (ALTRO.py:51-74); at-cap failure sets a flag
     failed = st.failed | ((alpha == 0.0) & (st.reg >= cfg.reg_max))
@@ -458,7 +475,7 @@ def solve(sys, params, cfg: AltroConfig, X0, U0, duals=None,
 
     def body(st):
         active = ~(st.converged | st.failed)
-        new = altro_iteration(sys, params, cfg, st)
+        new = altro_iteration(sys, params, cfg, st, active=active)
         return _where(active, new, st)
 
     def cond(st):

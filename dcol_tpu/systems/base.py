@@ -35,7 +35,11 @@ class ProximityOptions:
     max_iters: int = 30
     jitter: float = 0.0
     backend: str = "xla"     # "xla" (batched lax ops) or "pallas" (fused kernel)
-    block: int = 256         # pallas batch-tile width (lanes per grid step)
+    # pallas batch-tile width (lanes per grid step); clamped down to the
+    # padded batch at trace time, so small batches don't pay for unused lanes.
+    # 1024 measured 27% faster than 256 on the quadrotor constraint batch
+    # (70400 pair problems: 12.8 -> 9.3 ms; benchmarks/probe_iter_cost.py)
+    block: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,9 +25,15 @@ def _mpl():
 
 
 def _dcm(p):
-    from dcol_tpu.geometry.mrp import dcm_from_mrp
-
-    return np.asarray(dcm_from_mrp(np.asarray(p, float)))
+    # host-side numpy MRP->DCM (matches geometry.mrp.dcm_from_mrp; plain
+    # numpy so the f64 pose math never touches the device or the x64 flag)
+    p = np.asarray(p, float)
+    pp = float(p @ p)
+    S = np.array([[0.0, -p[2], p[1]],
+                  [p[2], 0.0, -p[0]],
+                  [-p[1], p[0], 0.0]])
+    den = (1.0 + pp) ** 2
+    return np.eye(3) + (8.0 * (S @ S) + 4.0 * (1.0 - pp) * S) / den
 
 
 def polytope_vertices(A: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -34,15 +34,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MEAN_ITERS_PER_SOLVE = 47.5
 
 
+def _sync(out):
+    """Force a real device fetch: block_until_ready is a no-op over the
+    axon TPU relay (CLAUDE.md), so fetch one scalar-ish leaf instead."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+
+# One real device fetch costs a full relay round trip (~tens of ms), which
+# would swamp millisecond-scale components if paid per rep.  Dispatches are
+# async, so: issue `reps` back-to-back calls, fetch ONCE, and subtract the
+# separately measured dispatch+fetch floor (a trivial jitted op timed the
+# same way).
+_FLOOR_MS = None
+
+
+def _measure_floor():
+    global _FLOOR_MS
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    _sync(tiny(x))
+    t0 = time.time()
+    reps = 30
+    for _ in range(reps):
+        out = tiny(x)
+    _sync(out)
+    _FLOOR_MS = (time.time() - t0) / reps * 1e3
+    print(f"dispatch+fetch floor: {_FLOOR_MS:.2f} ms/call "
+          f"(subtracted from every component)", file=sys.stderr)
+
+
 def timeit(fn, *args, reps=20, warmup=2):
+    if _FLOOR_MS is None:
+        _measure_floor()
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps * 1e3  # ms
+    _sync(out)
+    return max(0.0, (time.time() - t0) / reps * 1e3 - _FLOOR_MS)  # ms
 
 
 def main():
