@@ -98,25 +98,46 @@ def main():
         lambda r, p: scene.assemble(r, p, params["obs_r"], params["obs_p"])
     )(rs, ps))(rs, ps)
     B0 = c_.shape[0] * c_.shape[1]
-    mult = max(1, batch // 4)  # kernel batch comparable to ALTRO's launches
+    mult = max(1, batch)       # the kernel batch ALTRO launches per iteration
     cf = jnp.tile(c_.reshape(B0, -1), (mult, 1))
     Gf = jnp.tile(G_.reshape(B0, *G_.shape[2:]), (mult, 1, 1))
     hf = jnp.tile(h_.reshape(B0, -1), (mult, 1))
     B = B0 * mult
-    pd = jax.jit(lambda c, G, h: solve_socp_pallas(
-        c, G, h, scene.cone_layout, tol=scene.opts.tol,
-        max_iters=scene.opts.max_iters, jitter=scene.opts.jitter))
-    out = pd(cf, Gf, hf)
+
+    def solve_once(c, G, h):
+        return solve_socp_pallas(
+            c, G, h, scene.cone_layout, tol=scene.opts.tol,
+            max_iters=scene.opts.max_iters, jitter=scene.opts.jitter)
+
+    out = jax.jit(solve_once)(cf, Gf, hf)
     total_it = float(jax.device_get(jnp.sum(out.iters)))
-    # One device fetch costs a full relay round trip (~30 ms), so queue the
-    # reps asynchronously and sync ONCE at the end (execution is FIFO on the
-    # chip: the last result waits for all queued programs).
-    pd_reps = 20
+
+    # Per-call relay dispatch costs 20-40 ms with high variance, swamping the
+    # kernel itself; chain K kernel applications inside ONE jitted fori_loop
+    # (a runtime-zero data dependency keeps the loop body from being hoisted:
+    # min(mu, 0) == 0 for every converged member but is not provably so).
+    K = 10
+
+    @jax.jit
+    def chained(c, G, h):
+        def body(i, carry):
+            h_i, acc = carry
+            o = solve_once(c, G, h_i)
+            # iters >= 0 always, so min(iters, 0) == 0 at runtime — but XLA
+            # cannot prove it, keeping a data dependency between iterations
+            dep = jnp.minimum(o.iters, 0).astype(h.dtype)
+            h_next = h + dep[:, None]
+            return h_next, acc + jnp.sum(o.iters)
+        _, tot = jax.lax.fori_loop(0, K, body,
+                                   (h, jnp.zeros((), jnp.float32)))
+        return tot
+
+    tot = chained(cf, Gf, hf)           # compile + warm
+    jax.device_get(tot)
     t0 = time.time()
-    for _ in range(pd_reps):
-        out = pd(cf, Gf, hf)
-    jax.device_get(out.iters[0])
-    pd_wall = (time.time() - t0) / pd_reps
+    tot = chained(cf, Gf, hf)
+    jax.device_get(tot)
+    pd_wall = (time.time() - t0) / K
     pdip_iters_per_s = total_it / pd_wall
     log(f"pdip kernel: {B} pair problems, {total_it:.0f} iters in "
         f"{pd_wall*1e3:.1f} ms -> {pdip_iters_per_s:.3g} iters/s, "

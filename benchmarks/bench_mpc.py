@@ -7,6 +7,7 @@ tests — see tests/conftest.py) the scenario batch is sharded over the
 the 8192-scenario sharded dryrun artifact (BASELINE.json config #5 analogue).
 
 Usage: python benchmarks/bench_mpc.py [n_scenarios] [n_steps] [horizon_N]
+       [max_iters_per_tick]
 
 Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay, so
 every timed region ends with a real device fetch (``jax.device_get``).
@@ -35,11 +36,12 @@ def main():
     n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     horizon = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    tick_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     n_dev = jax.device_count()
     print(f"devices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
     sys_, params, X0, U0, cfg = quadrotor.make_problem(
         dtype=jnp.float32, N=horizon)
-    cfg = dataclasses.replace(cfg, max_iters=8)  # warm-started ticks
+    cfg = dataclasses.replace(cfg, max_iters=tick_iters)  # warm-started ticks
 
     import numpy as np
 
@@ -58,18 +60,22 @@ def main():
     jax.device_get(out.iters[0])  # real device sync (compile + first run)
     t0 = time.time()
     out = run(x0s)
-    mean_iters = float(jax.device_get(jnp.mean(out.iters.astype(jnp.float32))))
+    mean_iters, conv_frac = jax.device_get(jnp.stack([
+        jnp.mean(out.iters.astype(jnp.float32)),
+        jnp.mean(out.converged.astype(jnp.float32))]))
     finite = bool(jax.device_get(jnp.all(jnp.isfinite(out.X_applied))))
     wall = time.time() - t0
     ticks = n_scen * n_steps
     print(json.dumps({
         "scenarios": n_scen, "steps": n_steps, "horizon_N": horizon,
+        "max_iters_per_tick": tick_iters,
         "devices": n_dev, "sharded": sharded,
         "wall_s": round(wall, 3),
         "mpc_ticks_per_s": round(ticks / wall, 1),
         "solves_per_s": round(ticks / wall, 1),
         "finite": finite,
-        "mean_solve_iters": round(mean_iters, 2),
+        "mean_solve_iters": round(float(mean_iters), 2),
+        "converged_tick_frac": round(float(conv_frac), 3),
     }))
 
 

@@ -77,10 +77,13 @@ def _soc_nt(s, z):
     Jz = jnp.concatenate([zbar[0:1], -zbar[1:]], axis=0)
     wbar = (sbar + Jz) / (2.0 * gamma)
     eta = (js / jz) ** 0.25
-    return eta, wbar
+    # cache 1/eta: the inverse apply runs ~10x per PDIP iteration (VPU
+    # divides are multi-cycle; one divide here replaces one per apply)
+    return (eta, 1.0 / eta), wbar
 
 
-def _soc_apply(eta, wbar, v, inverse):
+def _soc_apply(eta_pair, wbar, v, inverse):
+    eta, eta_inv = eta_pair
     w0, w1 = wbar[0:1], wbar[1:]
     sgn = -1.0 if inverse else 1.0
     v0, v1 = v[0:1], v[1:]
@@ -88,7 +91,7 @@ def _soc_apply(eta, wbar, v, inverse):
     head = w0 * v0 + sgn * w1v1
     tail = v1 + (sgn * v0 + w1v1 / (1.0 + w0)) * w1
     out = jnp.concatenate([head, tail], axis=0)
-    return out / eta if inverse else out * eta
+    return out * eta_inv if inverse else out * eta
 
 
 def _cone_prod(u, v):
@@ -101,12 +104,13 @@ def _inv_cone_prod(lam, v):
 
 
 def _nt(s, z):
-    return (jnp.sqrt(s[0] / z[0]), _soc_nt(s[1], z[1]), _soc_nt(s[2], z[2]))
+    w_ort = jnp.sqrt(s[0] / z[0])
+    return ((w_ort, 1.0 / w_ort), _soc_nt(s[1], z[1]), _soc_nt(s[2], z[2]))
 
 
 def _W(W, v, inverse=False):
-    w_ort, (e1, w1), (e2, w2) = W
-    o = v[0] / w_ort if inverse else v[0] * w_ort
+    (w_ort, w_ort_inv), (e1, w1), (e2, w2) = W
+    o = v[0] * (w_ort_inv if inverse else w_ort)
     return (o, _soc_apply(e1, w1, v[1], inverse),
             _soc_apply(e2, w2, v[2], inverse))
 
@@ -172,38 +176,46 @@ def _bring2cone(r, e_ort):
 
 
 def _chol_factor(M, nv, jitter):
-    """M: dict {(i,j): (1, BT)} lower triangle -> L entries."""
+    """M: dict {(i,j): (1, BT)} lower triangle -> L entries, plus cached
+    reciprocals of the diagonal (VPU divides are multi-cycle; every factor
+    is used by >= 2 triangular-solve pairs, so divide once, multiply after).
+    """
     if jitter:
         tr = sum(M[(i, i)] for i in range(nv)) / nv
         M = {k: (v + jitter * tr if k[0] == k[1] else v)
              for k, v in M.items()}
     L = {}
+    rdiag = [None] * nv
     for i in range(nv):
         for j in range(i + 1):
             sacc = M[(i, j)]
             for k in range(j):
                 sacc = sacc - L[(i, k)] * L[(j, k)]
             if i == j:
-                L[(i, j)] = jnp.sqrt(sacc)
+                d = jnp.sqrt(sacc)
+                L[(i, j)] = d
+                rdiag[i] = 1.0 / d
             else:
-                L[(i, j)] = sacc / L[(j, j)]
-    return L
+                L[(i, j)] = sacc * rdiag[j]
+    return L, rdiag
 
 
-def _chol_solve(L, b, nv):
-    """b: list of (1, BT) -> list of (1, BT)."""
+def _chol_solve(Lr, b, nv):
+    """b: list of (1, BT) -> list of (1, BT); Lr = (L, rdiag) from
+    _chol_factor."""
+    L, rdiag = Lr
     y = [None] * nv
     for i in range(nv):
         sacc = b[i]
         for k in range(i):
             sacc = sacc - L[(i, k)] * y[k]
-        y[i] = sacc / L[(i, i)]
+        y[i] = sacc * rdiag[i]
     x = [None] * nv
     for i in reversed(range(nv)):
         sacc = y[i]
         for k in range(i + 1, nv):
             sacc = sacc - L[(k, i)] * x[k]
-        x[i] = sacc / L[(i, i)]
+        x[i] = sacc * rdiag[i]
     return x
 
 

@@ -54,7 +54,7 @@ class ConeThroughWall(System):
         return full_pose_jacobian_rows(self.nx, d_r, d_p)
 
 
-def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
+def make_system(N: int = 60, pdip_tol: float = 1e-6, pdip_iters: int = 30,
                 backend: str = "xla",
                 pdip_jitter: float = 0.0,
                 fd_jacobians: bool = False) -> ConeThroughWall:
@@ -67,19 +67,23 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     scene = CollisionScene(
         prim.cone(CONE_H, CONE_BETA), obstacles,
         ProximityOptions(pdip_tol, pdip_iters, pdip_jitter, backend))
-    return ConeThroughWall(nx=12, nu=6, N=60, dt=0.1, scene=scene,
+    return ConeThroughWall(nx=12, nu=6, N=N, dt=0.1, scene=scene,
                            fd_jacobians=fd_jacobians)
 
 
-def make_problem(dtype=jnp.float64, backend: str = "auto"):
-    """(system, params, X0, U0, config); reference :214-246, :252-267."""
+def make_problem(dtype=jnp.float64, N: int = 60, backend: str = "auto"):
+    """(system, params, X0, U0, config); reference :214-246, :252-267.
+    ``N`` defaults to the reference horizon; shorter horizons reuse the
+    leading rows of the pinned seed-2 U0 fixture (API parity with
+    piano_mover/quadrotor for MPC and dryrun use)."""
     if backend == "auto":
         import jax
         backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
-        sys = make_system(pdip_tol=2e-5, pdip_jitter=1e-6, backend=backend)
+        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6,
+                          backend=backend)
     else:
-        sys = make_system(backend=backend)
+        sys = make_system(N=N, backend=backend)
     N, nx, nu = sys.N, sys.nx, sys.nu
     x0 = np.array([-4, -7, 9, 0.0, 0.0, 0.0, 0, 0, 0, 0, 0, 0])
     xg = np.array([-4.5, 7, 3, 0, 0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0])
@@ -104,5 +108,5 @@ def make_problem(dtype=jnp.float64, backend: str = "auto"):
                       convio_tol=1e-4, rho0=1.0, phi=10.0,
                       reg_min=1e-6, reg_max=1e2)
     X0 = jnp.asarray(np.tile(x0, (N, 1)), dtype)
-    U0 = jnp.asarray(np.load(_DATA)["cone_U0"], dtype)
+    U0 = jnp.asarray(np.load(_DATA)["cone_U0"][: N - 1], dtype)
     return sys, params, X0, U0, cfg
