@@ -248,7 +248,7 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
     inputs = (A, B, l_x, l_u, l_xx, l_uu)
     (Vx0, Vxx0, delta_J), (K, k) = jax.lax.scan(
         step, (Vx_N, Vxx_N, jnp.zeros((), dt)), inputs, reverse=True,
-        unroll=4)
+        unroll=8)
     kmax = jnp.max(jnp.linalg.norm(k, axis=-1))  # ALTRO.py:34-48
     return K, k, delta_J, kmax
 
@@ -266,7 +266,7 @@ def rollout(sys, params, X, U, K, k, alpha):
         x_next = sys.discrete_dynamics(params, x, u, t)
         return x_next, (x, u)
 
-    xN, (Xs, Un) = jax.lax.scan(step, X[0], (X[:-1], U, K, k, ks), unroll=4)
+    xN, (Xs, Un) = jax.lax.scan(step, X[0], (X[:-1], U, K, k, ks), unroll=8)
     Xn = jnp.concatenate([Xs, xN[None]], axis=0)
     return Xn, Un
 
@@ -276,7 +276,7 @@ def initial_rollout(sys, params, x0, U):
         u, t = inp
         return sys.discrete_dynamics(params, x, u, t), x
 
-    xN, Xs = jax.lax.scan(step, x0, (U, jnp.arange(sys.N - 1)), unroll=4)
+    xN, Xs = jax.lax.scan(step, x0, (U, jnp.arange(sys.N - 1)), unroll=8)
     return jnp.concatenate([Xs, xN[None]], axis=0)
 
 
