@@ -87,61 +87,74 @@ def main():
     log(f"single-solve latency: p50 {p50*1e3:.0f} ms "
         f"(all: {[round(l*1e3) for l in lats]} ms)")
 
-    # --- PDIP iters/s: the hot kernel alone at the solver's working batch ---
-    # (batch scenarios) x (N knots) x (11 obstacles) padded pair problems,
-    # cold-started — the same kernel shape ALTRO launches every iteration.
+    # --- PDIP iters/s: the hot kernels alone at the solver's working batch --
+    # (batch scenarios) x (N knots) x (11 obstacles) pair problems grouped by
+    # obstacle kind (exact layouts, zero padding rows), cold-started — the
+    # same set of kernel launches ALTRO issues every iteration.
+    from dcol_tpu.ops.cones import ConeLayout
     from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
 
     scene = sys_.scene
     rs, ps = jax.vmap(sys_.robot_pose)(params["Xref"])
-    c_, G_, h_ = jax.jit(lambda rs, ps: jax.vmap(
-        lambda r, p: scene.assemble(r, p, params["obs_r"], params["obs_p"])
+    grouped = jax.jit(lambda rs, ps: jax.vmap(
+        lambda r, p: scene.assemble_groups(r, p, params["obs_r"],
+                                           params["obs_p"])
     )(rs, ps))(rs, ps)
-    B0 = c_.shape[0] * c_.shape[1]
     mult = max(1, batch)       # the kernel batch ALTRO launches per iteration
-    cf = jnp.tile(c_.reshape(B0, -1), (mult, 1))
-    Gf = jnp.tile(G_.reshape(B0, *G_.shape[2:]), (mult, 1, 1))
-    hf = jnp.tile(h_.reshape(B0, -1), (mult, 1))
-    B = B0 * mult
+    flats = []                 # per-group (c, G, h, ConeLayout)
+    B = 0
+    for gi, (lay, idx) in enumerate(scene.groups):
+        c_, G_, h_ = grouped[gi]
+        B0 = c_.shape[0] * c_.shape[1]
+        cf = jnp.tile(c_.reshape(B0, -1), (mult, 1))
+        Gf = jnp.tile(G_.reshape(B0, *G_.shape[2:]), (mult, 1, 1))
+        hf = jnp.tile(h_.reshape(B0, -1), (mult, 1))
+        flats.append((cf, Gf, hf, ConeLayout(lay.n_ort, lay.s1, lay.s2)))
+        B += B0 * mult
 
-    def solve_once(c, G, h):
-        return solve_socp_pallas(
-            c, G, h, scene.cone_layout, tol=scene.opts.tol,
-            max_iters=scene.opts.max_iters, jitter=scene.opts.jitter)
+    def solve_all(chs):
+        outs = []
+        for (c, G, h), (_, _, _, cl) in zip(chs, flats):
+            outs.append(solve_socp_pallas(
+                c, G, h, cl, tol=scene.opts.tol,
+                max_iters=scene.opts.max_iters, jitter=scene.opts.jitter))
+        return outs
 
-    out = jax.jit(solve_once)(cf, Gf, hf)
-    total_it = float(jax.device_get(jnp.sum(out.iters)))
+    chs0 = [(c, G, h) for c, G, h, _ in flats]
+    outs = jax.jit(solve_all)(chs0)
+    total_it = float(jax.device_get(sum(jnp.sum(o.iters) for o in outs)))
 
     # Per-call relay dispatch costs 20-40 ms with high variance, swamping the
-    # kernel itself; chain K kernel applications inside ONE jitted fori_loop
+    # kernels themselves; chain K applications inside ONE jitted fori_loop
     # (a runtime-zero data dependency keeps the loop body from being hoisted:
-    # min(mu, 0) == 0 for every converged member but is not provably so).
+    # min(iters, 0) == 0 at runtime but is not provably so).
     K = 10
 
     @jax.jit
-    def chained(c, G, h):
+    def chained(chs):
         def body(i, carry):
-            h_i, acc = carry
-            o = solve_once(c, G, h_i)
-            # iters >= 0 always, so min(iters, 0) == 0 at runtime — but XLA
-            # cannot prove it, keeping a data dependency between iterations
-            dep = jnp.minimum(o.iters, 0).astype(h.dtype)
-            h_next = h + dep[:, None]
-            return h_next, acc + jnp.sum(o.iters)
+            chs_i, acc = carry
+            outs = solve_all(chs_i)
+            chs_n = []
+            for (c, G, h), o in zip(chs_i, outs):
+                dep = jnp.minimum(o.iters, 0).astype(h.dtype)
+                chs_n.append((c, G, h + dep[:, None]))
+                acc = acc + jnp.sum(o.iters)
+            return chs_n, acc
         _, tot = jax.lax.fori_loop(0, K, body,
-                                   (h, jnp.zeros((), jnp.float32)))
+                                   (chs, jnp.zeros((), jnp.float32)))
         return tot
 
-    tot = chained(cf, Gf, hf)           # compile + warm
+    tot = chained(chs0)                 # compile + warm
     jax.device_get(tot)
     t0 = time.time()
-    tot = chained(cf, Gf, hf)
+    tot = chained(chs0)
     jax.device_get(tot)
     pd_wall = (time.time() - t0) / K
     pdip_iters_per_s = total_it / pd_wall
-    log(f"pdip kernel: {B} pair problems, {total_it:.0f} iters in "
-        f"{pd_wall*1e3:.1f} ms -> {pdip_iters_per_s:.3g} iters/s, "
-        f"{B/pd_wall:.3g} cold solves/s")
+    log(f"pdip kernels ({len(flats)} groups): {B} pair problems, "
+        f"{total_it:.0f} iters in {pd_wall*1e3:.1f} ms -> "
+        f"{pdip_iters_per_s:.3g} iters/s, {B/pd_wall:.3g} cold solves/s")
 
     baseline_rate = 1.0 / REF_QUADROTOR_SECONDS
     print(json.dumps({

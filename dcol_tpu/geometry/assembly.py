@@ -1,5 +1,7 @@
-"""Assembly of per-primitive-pair SOCP problem matrices, padded to one static
-shape so a single batched solver covers every pair type.
+"""Assembly of per-primitive-pair SOCP problem matrices with static layouts:
+EXACT minimal layouts per pair kind (:func:`exact_layout` — the hot path;
+pairs grouped by layout batch with zero padding rows) or one padded shape
+covering every pair type of a scene (:func:`make_layout` defaults).
 
 Reference semantics (re-derived, not translated):
   * per-primitive blocks: ``primitives/problem_matrices.py:4-209`` — each
@@ -158,7 +160,14 @@ def prim_blocks(shape: prim.Shape, r, p):
 
 @dataclasses.dataclass(frozen=True)
 class PairLayout:
-    """Static layout of one primitive pair inside the padded problem."""
+    """Static layout of one primitive pair inside the padded problem.
+
+    ``s1``/``s2`` are the PADDED SOC block sizes; the default (``S_PAD``
+    each, even when a primitive has no SOC — a vacuous block is emitted)
+    gives the one-layout-covers-everything scheme.  Exact per-kind layouts
+    (:func:`exact_layout`) instead set them to the true SOC dims (possibly
+    0 = no block), which the solvers also accept — pair problems grouped by
+    kind then carry zero padding rows."""
 
     n_ort1: int
     n_ort2: int
@@ -168,6 +177,8 @@ class PairLayout:
     soc2: int
     nv: int    # padded number of decision variables
     n_ort: int # padded number of orthant rows
+    s1: int = S_PAD  # padded SOC block sizes (0 = block absent)
+    s2: int = S_PAD
 
     @property
     def v(self) -> int:
@@ -179,7 +190,7 @@ class PairLayout:
 
     @property
     def nr(self) -> int:
-        return self.n_ort + 2 * S_PAD
+        return self.n_ort + self.s1 + self.s2
 
 
 def pair_min_dims(s1: prim.Shape, s2: prim.Shape) -> Tuple[int, int]:
@@ -188,14 +199,27 @@ def pair_min_dims(s1: prim.Shape, s2: prim.Shape) -> Tuple[int, int]:
     return v, s1.n_ort + s2.n_ort
 
 
-def make_layout(s1: prim.Shape, s2: prim.Shape, nv: int, n_ort: int) -> PairLayout:
+def make_layout(s1: prim.Shape, s2: prim.Shape, nv: int, n_ort: int,
+                s1_pad: int = S_PAD, s2_pad: int = S_PAD) -> PairLayout:
     lay = PairLayout(
         n_ort1=s1.n_ort, n_ort2=s2.n_ort, v1=s1.n_vars, v2=s2.n_vars,
         soc1=s1.n_soc, soc2=s2.n_soc, nv=nv, n_ort=n_ort,
+        s1=s1_pad, s2=s2_pad,
     )
     assert lay.v <= nv, (lay, nv)
     assert lay.n_ort1 + lay.n_ort2 + lay.n_box <= n_ort, (lay, n_ort)
+    assert lay.soc1 <= lay.s1 and lay.soc2 <= lay.s2, lay
     return lay
+
+
+def exact_layout(s1: prim.Shape, s2: prim.Shape) -> PairLayout:
+    """Minimal zero-padding layout for one pair: exact decision vars, exact
+    orthant rows (no box / vacuous fill), exact SOC dims (absent blocks are
+    dropped, not made vacuous).  Pairs sharing a layout can be solved as one
+    batch; :class:`~dcol_tpu.systems.base.CollisionScene` groups obstacles by
+    this key."""
+    v, rows = pair_min_dims(s1, s2)
+    return make_layout(s1, s2, v, rows, s1_pad=s1.n_soc, s2_pad=s2.n_soc)
 
 
 def scene_dims(robot: prim.Shape, obstacles: Sequence[prim.Shape]) -> Tuple[int, int]:
@@ -212,8 +236,9 @@ def assemble_pair(s1: prim.Shape, s2: prim.Shape, layout: PairLayout,
                   r1, p1, r2, p2):
     """Padded (c, G, h) for the pair SOCP:  min c'x  s.t.  Gx + s = h, s in K.
 
-    K = R^{n_ort}_+  x  SOC(S_PAD)  x  SOC(S_PAD).  Differentiable in all four
-    pose arguments; static output shapes (nr, nv).
+    K = R^{n_ort}_+  x  SOC(layout.s1)  x  SOC(layout.s2), with zero-size
+    blocks dropped.  Differentiable in all four pose arguments; static output
+    shapes (nr, nv).
     """
     G1o, h1o, G1s, h1s = prim_blocks(s1, r1, p1)
     G2o, h2o, G2s, h2s = prim_blocks(s2, r2, p2)
@@ -248,19 +273,25 @@ def assemble_pair(s1: prim.Shape, s2: prim.Shape, layout: PairLayout,
         hs.append(jnp.ones((n_fill,), dtype=dt))
 
     # --- SOC blocks -----------------------------------------------------
-    def soc_block(Gs, hsv, which: int, true_dim: int):
+    def soc_block(Gs, hsv, which: int, true_dim: int, pad_dim: int):
+        if pad_dim == 0:  # block absent from the layout entirely
+            return None
         if true_dim == 0:  # vacuous SOC: 0 x + s = e1
-            return (jnp.zeros((S_PAD, nv), dtype=dt),
-                    jnp.zeros((S_PAD,), dtype=dt).at[0].set(1.0))
+            return (jnp.zeros((pad_dim, nv), dtype=dt),
+                    jnp.zeros((pad_dim,), dtype=dt).at[0].set(1.0))
         Ge = embed_cols(Gs, which)
-        Gp = jnp.concatenate([Ge, jnp.zeros((S_PAD - true_dim, nv), dtype=dt)], axis=0)
-        hp = jnp.concatenate([hsv, jnp.zeros((S_PAD - true_dim,), dtype=dt)])
+        Gp = jnp.concatenate(
+            [Ge, jnp.zeros((pad_dim - true_dim, nv), dtype=dt)], axis=0)
+        hp = jnp.concatenate([hsv, jnp.zeros((pad_dim - true_dim,), dtype=dt)])
         return Gp, hp
 
-    Gs1, hs1 = soc_block(G1s, h1s, 1, L.soc1)
-    Gs2, hs2 = soc_block(G2s, h2s, 2, L.soc2)
+    for blk in (soc_block(G1s, h1s, 1, L.soc1, L.s1),
+                soc_block(G2s, h2s, 2, L.soc2, L.s2)):
+        if blk is not None:
+            rows.append(blk[0])
+            hs.append(blk[1])
 
-    G = jnp.concatenate(rows + [Gs1, Gs2], axis=0)
-    h = jnp.concatenate(hs + [hs1, hs2])
+    G = jnp.concatenate(rows, axis=0)
+    h = jnp.concatenate(hs)
     c = jnp.zeros((nv,), dtype=dt).at[3].set(1.0)
     return c, G, h

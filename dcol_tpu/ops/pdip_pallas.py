@@ -6,12 +6,17 @@ NT scaling; see there for the reference mapping) but laid out for the TPU VPU:
   * **batch on lanes**: every quantity of the tiny (NR x NV) conic problem is
     stored problem-major with the scenario batch on the LAST axis, so each
     scalar of the algorithm is one 128-lane vector op over the batch tile.
-    The XLA path's (B, NR, NV) layout pads NV=6..8 up to 128 lanes (>90%
+    The XLA path's (B, NR, NV) layout pads NV=4..8 up to 128 lanes (>90%
     lane waste); this layout wastes nothing.
-  * **pure 2-D working set**: cone blocks (orthant / SOC1 / SOC2) and matrix
+  * **pure 2-D working set**: cone blocks (orthant / SOCs) and matrix
     columns are separate 2-D ``(rows, BT)`` values read straight from the
-    refs — Mosaic's vector layouts stay offset-free, and the 8x8 Cholesky,
+    refs — Mosaic's vector layouts stay offset-free, and the tiny Cholesky,
     triangular solves, and cone algebra unroll into straight-line VPU code.
+  * **exact static layouts**: the kernel is specialised per
+    :class:`~dcol_tpu.ops.cones.ConeLayout` — any combination of an orthant
+    block (possibly absent) and 0-2 SOC blocks of exact dims.  Pair problems
+    grouped by primitive kind (see ``CollisionScene.groups``) therefore pay
+    zero padding rows: a polytope-polytope pair runs as a pure-orthant LP.
   * one ``pallas_call`` solves the whole batch: grid over batch tiles of
     ``BT`` lanes, all operands resident in VMEM (~100 KB/tile).
 
@@ -19,8 +24,9 @@ The wrapper :func:`solve_socp_pallas` accepts/returns the same (B, ...)
 convention as ``solve_socp`` and is numerically interchangeable with it
 (tested batch-vs-batch in ``tests/test_pdip_pallas.py``).
 
-Vectors over the composite cone are triples ``(v_ort (n,BT), v1 (S,BT),
-v2 (S,BT))``; the NV-dim primal lives as a list of ``(1, BT)`` rows.
+Vectors over the composite cone are tuples of per-block ``(rows, BT)``
+arrays (one entry per present cone block); the NV-dim primal lives as a
+list of ``(1, BT)`` rows.
 """
 
 from __future__ import annotations
@@ -47,7 +53,7 @@ def _rmin(a):
     return jnp.min(a, axis=0, keepdims=True)
 
 
-# -- cone-block triple algebra ---------------------------------------------
+# -- SOC block primitives ----------------------------------------------------
 
 def _soc_quad(x):
     return x[0:1] ** 2 - _rsum(x[1:] ** 2)
@@ -94,85 +100,135 @@ def _soc_apply(eta_pair, wbar, v, inverse):
     return out * eta_inv if inverse else out * eta
 
 
-def _cone_prod(u, v):
-    return (u[0] * v[0], _soc_prod(u[1], v[1]), _soc_prod(u[2], v[2]))
+def _soc_linesearch(y, d):
+    y0, yv = y[0:1], y[1:]
+    d0, dv = d[0:1], d[1:]
+    nu = jnp.maximum(_soc_quad(y), _TINY)
+    sq = jnp.sqrt(nu)
+    zeta = y0 * d0 - _rsum(yv * dv)
+    rho0 = zeta / nu
+    coef = (zeta / sq + d0) / (y0 / sq + 1.0)
+    rv = dv / sq - coef * yv / nu
+    rnorm = jnp.sqrt(_rsum(rv * rv))
+    lim = 1.0 / jnp.maximum(rnorm - rho0, _TINY)
+    return jnp.where(rnorm > rho0, jnp.minimum(1.0, lim), 1.0)
 
 
-def _inv_cone_prod(lam, v):
-    return (v[0] / lam[0], _soc_inv_prod(lam[1], v[1]),
-            _soc_inv_prod(lam[2], v[2]))
+# -- composite-cone ops over static block lists ------------------------------
+#
+# ``kinds`` is a static tuple of 'ort' / 'soc' tags; cone vectors are tuples
+# of (rows, BT) arrays aligned with it.  All loops below unroll at trace time.
+
+def _make_cone_ops(kinds):
+    n_blocks = len(kinds)
+
+    def prod(u, v):
+        return tuple(
+            u[i] * v[i] if kinds[i] == "ort" else _soc_prod(u[i], v[i])
+            for i in range(n_blocks))
+
+    def inv_prod(lam, v):
+        return tuple(
+            v[i] / lam[i] if kinds[i] == "ort" else _soc_inv_prod(lam[i], v[i])
+            for i in range(n_blocks))
+
+    def nt(s, z):
+        out = []
+        for i in range(n_blocks):
+            if kinds[i] == "ort":
+                w = jnp.sqrt(s[i] / z[i])
+                out.append((w, 1.0 / w))
+            else:
+                out.append(_soc_nt(s[i], z[i]))
+        return tuple(out)
+
+    def W_apply(W, v, inverse=False):
+        out = []
+        for i in range(n_blocks):
+            if kinds[i] == "ort":
+                w, w_inv = W[i]
+                out.append(v[i] * (w_inv if inverse else w))
+            else:
+                eta_pair, wbar = W[i]
+                out.append(_soc_apply(eta_pair, wbar, v[i], inverse))
+        return tuple(out)
+
+    def dot(u, v):
+        acc = _rsum(u[0] * v[0])
+        for i in range(1, n_blocks):
+            acc = acc + _rsum(u[i] * v[i])
+        return acc
+
+    def axpy(a, u, v):
+        return tuple(u[i] + a * v[i] for i in range(n_blocks))
+
+    def select(m, u, v):
+        return tuple(jnp.where(m, u[i], v[i]) for i in range(n_blocks))
+
+    def finite(u):
+        acc = jnp.all(jnp.isfinite(u[0]), axis=0, keepdims=True)
+        for i in range(1, n_blocks):
+            acc = acc & jnp.all(jnp.isfinite(u[i]), axis=0, keepdims=True)
+        return acc
+
+    def linesearch(x, dx):
+        a = None
+        for i in range(n_blocks):
+            if kinds[i] == "ort":
+                xo, do = x[i], dx[i]
+                negm = do < 0
+                ratios = jnp.where(negm, -xo / jnp.where(negm, do, -1.0),
+                                   jnp.inf)
+                ai = jnp.minimum(1.0, _rmin(ratios))
+            else:
+                ai = _soc_linesearch(x[i], dx[i])
+            a = ai if a is None else jnp.minimum(a, ai)
+        return a
+
+    def bring2cone(r):
+        a = None
+        for i in range(n_blocks):
+            if kinds[i] == "ort":
+                ai = -_rmin(r[i])
+            else:
+                ai = -(r[i][0:1] - jnp.sqrt(_rsum(r[i][1:] ** 2)))
+            a = ai if a is None else jnp.maximum(a, ai)
+        shift = 1.0 + a
+        ok = a < 0
+        out = []
+        for i in range(n_blocks):
+            if kinds[i] == "ort":
+                ri = r[i] + shift
+            else:
+                ri = jnp.concatenate([r[i][0:1] + shift, r[i][1:]], axis=0)
+            out.append(jnp.where(ok, r[i], ri))
+        return tuple(out)
+
+    def add_head(u, sm):
+        """u + sm*e blockwise (e = cone identity): full block for the
+        orthant, head row only for SOCs."""
+        out = []
+        for i in range(n_blocks):
+            if kinds[i] == "ort":
+                out.append(u[i] + sm)
+            else:
+                out.append(jnp.concatenate([u[i][0:1] + sm, u[i][1:]], axis=0))
+        return tuple(out)
+
+    return (prod, inv_prod, nt, W_apply, dot, axpy, select, finite,
+            linesearch, bring2cone, add_head)
 
 
-def _nt(s, z):
-    w_ort = jnp.sqrt(s[0] / z[0])
-    return ((w_ort, 1.0 / w_ort), _soc_nt(s[1], z[1]), _soc_nt(s[2], z[2]))
-
-
-def _W(W, v, inverse=False):
-    (w_ort, w_ort_inv), (e1, w1), (e2, w2) = W
-    o = v[0] * (w_ort_inv if inverse else w_ort)
-    return (o, _soc_apply(e1, w1, v[1], inverse),
-            _soc_apply(e2, w2, v[2], inverse))
-
-
-def _dot(u, v):
-    """<u, v> over the whole cone -> (1, BT)."""
-    return _rsum(u[0] * v[0]) + _rsum(u[1] * v[1]) + _rsum(u[2] * v[2])
-
-
-def _axpy(a, u, v):
-    """u + a*v blockwise; a: (1, BT)."""
-    return (u[0] + a * v[0], u[1] + a * v[1], u[2] + a * v[2])
-
-
-def _select(m, u, v):
-    """where(m, u, v) blockwise; m: (1, BT) bool."""
-    return (jnp.where(m, u[0], v[0]), jnp.where(m, u[1], v[1]),
-            jnp.where(m, u[2], v[2]))
-
-
-def _finite(u):
-    return (jnp.all(jnp.isfinite(u[0]), axis=0, keepdims=True)
-            & jnp.all(jnp.isfinite(u[1]), axis=0, keepdims=True)
-            & jnp.all(jnp.isfinite(u[2]), axis=0, keepdims=True))
-
-
-def _linesearch(x, dx):
-    xo, do = x[0], dx[0]
-    neg = do < 0
-    ratios = jnp.where(neg, -xo / jnp.where(neg, do, -1.0), jnp.inf)
-    a = jnp.minimum(1.0, _rmin(ratios))
-
-    def soc_ls(y, d):
-        y0, yv = y[0:1], y[1:]
-        d0, dv = d[0:1], d[1:]
-        nu = jnp.maximum(_soc_quad(y), _TINY)
-        sq = jnp.sqrt(nu)
-        zeta = y0 * d0 - _rsum(yv * dv)
-        rho0 = zeta / nu
-        coef = (zeta / sq + d0) / (y0 / sq + 1.0)
-        rv = dv / sq - coef * yv / nu
-        rnorm = jnp.sqrt(_rsum(rv * rv))
-        lim = 1.0 / jnp.maximum(rnorm - rho0, _TINY)
-        return jnp.where(rnorm > rho0, jnp.minimum(1.0, lim), 1.0)
-
-    a = jnp.minimum(a, soc_ls(x[1], dx[1]))
-    a = jnp.minimum(a, soc_ls(x[2], dx[2]))
-    return a
-
-
-def _bring2cone(r, e_ort):
-    a = -_rmin(r[0])
-    a = jnp.maximum(a, -(r[1][0:1] - jnp.sqrt(_rsum(r[1][1:] ** 2))))
-    a = jnp.maximum(a, -(r[2][0:1] - jnp.sqrt(_rsum(r[2][1:] ** 2))))
-    shift = 1.0 + a
-    ok = a < 0
-    S = r[1].shape[0]
-    zpad = jnp.zeros((S - 1, a.shape[-1]), r[0].dtype)
-    soc_e = lambda blk: jnp.concatenate([blk[0:1] + shift, blk[1:]], axis=0)
-    return (jnp.where(ok, r[0], r[0] + shift * e_ort),
-            jnp.where(ok, r[1], soc_e(r[1])),
-            jnp.where(ok, r[2], soc_e(r[2])))
+def _layout_blocks(lay: ConeLayout):
+    """Static (kind, row-offset, rows) triples for the present cone blocks."""
+    blocks = []
+    if lay.n_ort:
+        blocks.append(("ort", 0, lay.n_ort))
+    if lay.s1:
+        blocks.append(("soc", lay.n_ort, lay.s1))
+    if lay.s2:
+        blocks.append(("soc", lay.n_ort + lay.s1, lay.s2))
+    return tuple(blocks)
 
 
 def _chol_factor(M, nv, jitter):
@@ -221,8 +277,14 @@ def _chol_solve(Lr, b, nv):
 
 def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
                  jitter: float, use_warm: bool = False):
-    n, S1, S2 = lay.n_ort, lay.s1, lay.s2
+    blocks = _layout_blocks(lay)
+    kinds = tuple(b[0] for b in blocks)
     degree = lay.degree
+    (cone_prod, inv_cone_prod, nt, W_app, dot, axpy, select, finite,
+     linesearch, bring2cone, add_head) = _make_cone_ops(kinds)
+
+    def split_rows(ref_or_arr):
+        return tuple(ref_or_arr[o:o + r, :] for _, o, r in blocks)
 
     def kernel(*refs):
         if use_warm:
@@ -233,52 +295,44 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
         BT = G_ref.shape[-1]
         dt = G_ref.dtype
         # G columns per cone block: pure 2-D values straight from the ref
-        Gc = [(G_ref[:n, v, :], G_ref[n:n + S1, v, :], G_ref[n + S1:, v, :])
+        Gc = [tuple(G_ref[o:o + r, v, :] for _, o, r in blocks)
               for v in range(nv)]
-        h = (h_ref[:n, :], h_ref[n:n + S1, :], h_ref[n + S1:, :])
+        h = split_rows(h_ref)
         c = [c_ref[v:v + 1, :] for v in range(nv)]
-        e_ort = jnp.ones((n, BT), dt)
 
         def matvec(cols, x):
             """sum_v cols[v] * x[v] blockwise; x: list of (1, BT)."""
-            o = cols[0][0] * x[0]
-            b1 = cols[0][1] * x[0]
-            b2 = cols[0][2] * x[0]
+            acc = tuple(cols[0][i] * x[0] for i in range(len(blocks)))
             for v in range(1, nv):
-                o = o + cols[v][0] * x[v]
-                b1 = b1 + cols[v][1] * x[v]
-                b2 = b2 + cols[v][2] * x[v]
-            return o, b1, b2
+                acc = tuple(acc[i] + cols[v][i] * x[v]
+                            for i in range(len(blocks)))
+            return acc
 
         def rmatvec(cols, zt):
             """G' z -> list of (1, BT)."""
-            return [_dot(cols[v], zt) for v in range(nv)]
+            return [dot(cols[v], zt) for v in range(nv)]
 
         def gram(cols):
-            return {(i, j): _dot(cols[i], cols[j])
+            return {(i, j): dot(cols[i], cols[j])
                     for i in range(nv) for j in range(i + 1)}
 
-        neg = lambda u: (-u[0], -u[1], -u[2])
+        neg = lambda u: tuple(-ui for ui in u)
         if use_warm:
             # previous optimum shifted strictly into the cone interior
             margin = 1e-3
             x = [xw_ref[v:v + 1, :] for v in range(nv)]
-            sw = (sw_ref[:n, :] + margin, sw_ref[n:n + S1, :],
-                  sw_ref[n + S1:, :])
-            zw = (zw_ref[:n, :] + margin, zw_ref[n:n + S1, :],
-                  zw_ref[n + S1:, :])
-            soc_m = lambda blk: jnp.concatenate(
-                [blk[0:1] + margin, blk[1:]], axis=0)
-            s = _bring2cone((sw[0], soc_m(sw[1]), soc_m(sw[2])), e_ort)
-            z = _bring2cone((zw[0], soc_m(zw[1]), soc_m(zw[2])), e_ort)
+            sw = split_rows(sw_ref)
+            zw = split_rows(zw_ref)
+            s = bring2cone(add_head(sw, margin))
+            z = bring2cone(add_head(zw, margin))
         else:
             # cold start (pdip.py initialize)
             L0 = _chol_factor(gram(Gc), nv, jitter)
             x = _chol_solve(L0, rmatvec(Gc, h), nv)
             Gx = matvec(Gc, x)
-            s = _bring2cone(_axpy(jnp.full((1, BT), -1.0, dt), Gx, h), e_ort)
+            s = bring2cone(axpy(jnp.full((1, BT), -1.0, dt), Gx, h))
             xd = _chol_solve(L0, [-ci for ci in c], nv)
-            z = _bring2cone(matvec(Gc, xd), e_ort)
+            z = bring2cone(matvec(Gc, xd))
 
         # NOTE: the loop carry holds the done-mask as f32 (1.0 = done) —
         # Mosaic cannot legalize scf.for with vector<i1> carries
@@ -288,63 +342,60 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
         def body(_, carry):
             x, s, z, done_f, iters = carry
             done = done_f > 0.5
-            W = _nt(s, z)
-            lam = _W(W, z)
-            lam_lam = _cone_prod(lam, lam)
+            W = nt(s, z)
+            lam = W_app(W, z)
+            lam_lam = cone_prod(lam, lam)
             rx = rmatvec(Gc, z)            # + c below
             rx = [rx[v] + c[v] for v in range(nv)]
             Gx = matvec(Gc, x)
-            rz = (s[0] + Gx[0] - h[0], s[1] + Gx[1] - h[1],
-                  s[2] + Gx[2] - h[2])
-            mu = _dot(s, z) / degree
+            rz = tuple(s[i] + Gx[i] - h[i] for i in range(len(blocks)))
+            mu = dot(s, z) / degree
             new_done = done | (mu < tol) | ~(mu == mu)
 
-            Gt = [_W(W, Gc[v], inverse=True) for v in range(nv)]
+            Gt = [W_app(W, Gc[v], inverse=True) for v in range(nv)]
             L = _chol_factor(gram(Gt), nv, jitter)
 
             def newton(lam_ds):
-                wlds = _W(W, lam_ds)
-                rhs = (-rz[0] - wlds[0], -rz[1] - wlds[1], -rz[2] - wlds[2])
-                b_z = _W(W, rhs, inverse=True)
-                bvec = [-rx[v] + _dot(Gt[v], b_z) for v in range(nv)]
+                wlds = W_app(W, lam_ds)
+                rhs = tuple(-rz[i] - wlds[i] for i in range(len(blocks)))
+                b_z = W_app(W, rhs, inverse=True)
+                bvec = [-rx[v] + dot(Gt[v], b_z) for v in range(nv)]
                 dx = _chol_solve(L, bvec, nv)
                 Gtdx = matvec(Gt, dx)
-                dz = _W(W, (Gtdx[0] - b_z[0], Gtdx[1] - b_z[1],
-                            Gtdx[2] - b_z[2]), inverse=True)
-                wdz = _W(W, dz)
-                ds = _W(W, (lam_ds[0] - wdz[0], lam_ds[1] - wdz[1],
-                            lam_ds[2] - wdz[2]))
+                dz = W_app(W, tuple(Gtdx[i] - b_z[i]
+                                    for i in range(len(blocks))),
+                           inverse=True)
+                wdz = W_app(W, dz)
+                ds = W_app(W, tuple(lam_ds[i] - wdz[i]
+                                    for i in range(len(blocks))))
                 return dx, ds, dz
 
-            dx_a, ds_a, dz_a = newton(_inv_cone_prod(lam, neg(lam_lam)))
-            a_aff = jnp.minimum(_linesearch(s, ds_a), _linesearch(z, dz_a))
-            rho = (_dot(_axpy(a_aff, s, ds_a), _axpy(a_aff, z, dz_a))
-                   / _dot(s, z))
+            dx_a, ds_a, dz_a = newton(inv_cone_prod(lam, neg(lam_lam)))
+            a_aff = jnp.minimum(linesearch(s, ds_a), linesearch(z, dz_a))
+            rho = (dot(axpy(a_aff, s, ds_a), axpy(a_aff, z, dz_a))
+                   / dot(s, z))
             sigma = jnp.clip(rho, 0.0, 1.0) ** 3
             sm = sigma * mu
 
-            comb = _cone_prod(_W(W, ds_a, inverse=True), _W(W, dz_a))
-            soc_e = lambda blk: jnp.concatenate(
-                [blk[0:1] + sm, blk[1:]], axis=0)
-            ds_rhs = (-lam_lam[0] - comb[0] + sm,
-                      soc_e(-lam_lam[1] - comb[1]),
-                      soc_e(-lam_lam[2] - comb[2]))
-            dx_c, ds_c, dz_c = newton(_inv_cone_prod(lam, ds_rhs))
+            comb = cone_prod(W_app(W, ds_a, inverse=True), W_app(W, dz_a))
+            ds_rhs = add_head(
+                tuple(-lam_lam[i] - comb[i] for i in range(len(blocks))), sm)
+            dx_c, ds_c, dz_c = newton(inv_cone_prod(lam, ds_rhs))
             a = jnp.minimum(
-                1.0, 0.99 * jnp.minimum(_linesearch(s, ds_c),
-                                        _linesearch(z, dz_c)))
+                1.0, 0.99 * jnp.minimum(linesearch(s, ds_c),
+                                        linesearch(z, dz_c)))
 
             xn = [x[v] + a * dx_c[v] for v in range(nv)]
-            sn = _axpy(a, s, ds_c)
-            zn = _axpy(a, z, dz_c)
+            sn = axpy(a, s, ds_c)
+            zn = axpy(a, z, dz_c)
             goodx = jnp.ones_like(done)
             for v in range(nv):
                 goodx = goodx & jnp.isfinite(xn[v])
-            good = goodx & _finite(sn) & _finite(zn)
+            good = goodx & finite(sn) & finite(zn)
             act = ~new_done & good
             x = [jnp.where(act, xn[v], x[v]) for v in range(nv)]
-            s = _select(act, sn, s)
-            z = _select(act, zn, z)
+            s = select(act, sn, s)
+            z = select(act, zn, z)
             new_done = new_done | ~good
             iters = iters + jnp.where(act, 1.0, 0.0)
             return x, s, z, jnp.where(new_done, 1.0, 0.0).astype(x[0].dtype), iters
@@ -366,7 +417,7 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
         x_ref[:] = jnp.concatenate(x, axis=0)
         s_ref[:] = jnp.concatenate(s, axis=0)
         z_ref[:] = jnp.concatenate(z, axis=0)
-        mu_ref[:] = _dot(s, z) / degree
+        mu_ref[:] = dot(s, z) / degree
         it_ref[:] = iters
 
     return kernel
@@ -383,6 +434,7 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     ``block`` is the lane-tile width; it is clamped down to the 128-padded
     batch so small batches never pay instruction issue for unused lanes."""
     B, nr, nv = G.shape
+    assert nr == lay.nr, (nr, lay)
     dt = G.dtype
     block = max(128, min(block, -(-B // 128) * 128))
     Bp = max(block, -(-B // block) * block)

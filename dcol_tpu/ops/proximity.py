@@ -44,10 +44,11 @@ class ProximityResult(NamedTuple):
 
 
 def pair_layouts(s1: Shape, s2: Shape):
-    """(PairLayout, ConeLayout) for a standalone pair."""
-    nv, n_ort = assembly.scene_dims(s1, [s2])
-    pl = assembly.make_layout(s1, s2, nv, n_ort)
-    cl = ConeLayout(n_ort, assembly.S_PAD, assembly.S_PAD)
+    """(PairLayout, ConeLayout) for a standalone pair: the EXACT minimal
+    layout (zero padding rows; absent SOC blocks dropped — a polytope pair
+    solves as a pure-orthant LP)."""
+    pl = assembly.exact_layout(s1, s2)
+    cl = ConeLayout(pl.n_ort, pl.s1, pl.s2)
     return pl, cl
 
 

@@ -8,11 +8,13 @@ all run-time data (references, bounds, obstacle poses) lives in a ``params``
 pytree, so everything jits, differentiates, and batches over scenarios.
 
 Collision constraints: one :class:`CollisionScene` per system holds the robot
-shape, the obstacle shapes, and the unified padded layout.  Per knot point,
-all robot-obstacle pairs are assembled (trace-time loop over the statically
-heterogeneous obstacles) and solved as ONE batched PDIP call; gradients come
-from the envelope theorem in the same pass (fusing the reference's separate
-``inequality_constraints_x`` / ``_x_grad`` solve pairs, SURVEY.md §7.4).
+shape and the obstacle shapes, grouped by their EXACT pair layout
+(:attr:`CollisionScene.groups`).  Per trajectory, each group's
+(knots x obstacles) pair problems are assembled (trace-time loop over the
+statically heterogeneous obstacles) and solved as ONE batched PDIP call per
+group — zero padding rows; gradients come from the envelope theorem in the
+same pass (fusing the reference's separate ``inequality_constraints_x`` /
+``_x_grad`` solve pairs, SURVEY.md §7.4).
 """
 
 from __future__ import annotations
@@ -58,6 +60,9 @@ class CollisionScene:
 
     @property
     def cone_layout(self) -> ConeLayout:
+        """Layout of the ONE-SHAPE-FITS-ALL padded problem (see
+        :meth:`assemble`); the hot path instead uses per-group exact
+        layouts (:attr:`groups`)."""
         _, n_ort = self.dims
         return ConeLayout(n_ort, assembly.S_PAD, assembly.S_PAD)
 
@@ -65,9 +70,44 @@ class CollisionScene:
         nv, n_ort = self.dims
         return assembly.make_layout(self.robot, self.obstacles[i], nv, n_ort)
 
+    # -- obstacle groups (exact layouts, zero padding rows) ----------------
+    @property
+    def groups(self) -> Tuple[Tuple[assembly.PairLayout, Tuple[int, ...]], ...]:
+        """Obstacles grouped by their EXACT pair layout.  Each group's pair
+        problems share one static shape with zero padding rows (no box rows,
+        no vacuous SOCs — a polytope-polytope group is a pure-orthant LP),
+        so each group is one batched solve / one pallas kernel.  Static:
+        derived from the shape tuple only."""
+        groups = []  # [(PairLayout, [obstacle indices])]
+        for i, obs in enumerate(self.obstacles):
+            lay = assembly.exact_layout(self.robot, obs)
+            for g in groups:
+                if g[0] == lay:
+                    g[1].append(i)
+                    break
+            else:
+                groups.append((lay, [i]))
+        return tuple((lay, tuple(idx)) for lay, idx in groups)
+
+    @property
+    def group_order(self) -> Tuple[int, ...]:
+        """Obstacle indices in grouped order (concatenation of the groups)."""
+        return tuple(i for _, idx in self.groups for i in idx)
+
+    @property
+    def inv_perm(self) -> Tuple[int, ...]:
+        """Permutation taking grouped-order columns back to obstacle order."""
+        order = self.group_order
+        inv = [0] * len(order)
+        for pos, i in enumerate(order):
+            inv[i] = pos
+        return tuple(inv)
+
     # -- assembly ---------------------------------------------------------
     def assemble(self, r, p, obs_r, obs_p):
-        """Stacked padded problems for one robot pose vs all obstacles.
+        """Stacked problems for one robot pose vs all obstacles, padded to
+        ONE static shape (the original all-pairs-one-kernel scheme; kept for
+        benchmarks/diagnostics — the solver path uses :meth:`assemble_groups`).
 
         r, p: (3,) robot pose; obs_r, obs_p: (n_obs, 3).
         Returns c (n_obs, nv), G (n_obs, nr, nv), h (n_obs, nr).
@@ -79,69 +119,112 @@ class CollisionScene:
             cs.append(c); Gs.append(G); hs.append(h)
         return jnp.stack(cs), jnp.stack(Gs), jnp.stack(hs)
 
+    def assemble_groups(self, r, p, obs_r, obs_p):
+        """Per-group stacked problems for one robot pose: a list (one entry
+        per group) of (c (n_g, nv_g), G (n_g, nr_g, nv_g), h (n_g, nr_g))
+        with the group's exact layout — zero padding rows."""
+        out = []
+        for lay, idx in self.groups:
+            cs, Gs, hs = [], [], []
+            for i in idx:
+                c, G, h = assembly.assemble_pair(
+                    self.robot, self.obstacles[i], lay, r, p,
+                    obs_r[i], obs_p[i])
+                cs.append(c); Gs.append(G); hs.append(h)
+            out.append((jnp.stack(cs), jnp.stack(Gs), jnp.stack(hs)))
+        return out
+
     # -- solver dispatch --------------------------------------------------
-    def _solve(self, c, G, h, warm=None):
-        """Solve a flat batch of padded pair problems with the configured
-        backend.  c/G/h have one leading batch dim; ``warm`` is an optional
-        (x, s, z) triple from a previous nearby solve."""
+    def _solve(self, c, G, h, lay: ConeLayout, warm=None):
+        """Solve a flat batch of pair problems with the configured backend.
+        c/G/h have one leading batch dim; ``warm`` is an optional (x, s, z)
+        triple from a previous nearby solve."""
         if self.opts.backend == "pallas":
             from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
 
             return solve_socp_pallas(
-                c, G, h, self.cone_layout, tol=self.opts.tol,
+                c, G, h, lay, tol=self.opts.tol,
                 max_iters=self.opts.max_iters, jitter=self.opts.jitter,
                 block=self.opts.block, warm=warm)
-        return solve_socp(c, G, h, self.cone_layout, tol=self.opts.tol,
+        return solve_socp(c, G, h, lay, tol=self.opts.tol,
                           max_iters=self.opts.max_iters,
                           jitter=self.opts.jitter, warm=warm)
+
+    def _solve_groups_traj(self, rs, ps, obs_r, obs_p, warm=None):
+        """One batched solve PER GROUP over a trajectory of poses (T, 3).
+        Returns (list of per-group solutions with flat (T*n_g) batch,
+        warm tuple).  ``warm`` is the matching tuple from a previous call."""
+        T = rs.shape[0]
+        grouped = jax.vmap(
+            lambda r_, p_: self.assemble_groups(r_, p_, obs_r, obs_p))(rs, ps)
+        sols = []
+        for gi, (lay, idx) in enumerate(self.groups):
+            c, G, h = grouped[gi]
+            n_g = len(idx)
+            flat = lambda a: a.reshape((T * n_g,) + a.shape[2:])
+            w = warm[gi] if warm is not None else None
+            sols.append(self._solve(
+                flat(c), flat(G), flat(h),
+                ConeLayout(lay.n_ort, lay.s1, lay.s2), warm=w))
+        return sols, tuple((s.x, s.s, s.z) for s in sols)
+
+    def _gather_cols(self, per_group, T):
+        """Stack per-group (T, n_g, ...) arrays and restore obstacle order on
+        axis 1."""
+        cat = jnp.concatenate(per_group, axis=1)
+        return cat[:, jnp.asarray(self.inv_perm)]
 
     # -- proximity values -------------------------------------------------
     def alphas(self, r, p, obs_r, obs_p):
         """(n_obs,) proximity alphas for one robot pose (value only)."""
-        c, G, h = self.assemble(r, p, obs_r, obs_p)
-        sol = self._solve(c, G, h)
-        return sol.x[..., 3]
+        a, _ = self.alphas_traj(r[None], p[None], obs_r, obs_p)
+        return a[0]
 
     def alphas_traj(self, rs, ps, obs_r, obs_p, warm=None):
         """(alphas (T, n_obs), solver warm state) for a trajectory of robot
-        poses rs/ps (T, 3): assembly is vmapped per knot, then ALL (T x n_obs)
-        pair problems are ONE flat batched solve (one kernel launch on the
-        pallas backend)."""
+        poses rs/ps (T, 3): assembly is vmapped per knot, then each obstacle
+        GROUP's (T x n_g) pair problems are one flat batched solve (one
+        kernel launch per group on the pallas backend)."""
         T = rs.shape[0]
-        c, G, h = jax.vmap(
-            lambda r_, p_: self.assemble(r_, p_, obs_r, obs_p))(rs, ps)
-        flat = lambda a: a.reshape((T * self.n_obs,) + a.shape[2:])
-        sol = self._solve(flat(c), flat(G), flat(h), warm=warm)
-        return sol.x[:, 3].reshape(T, self.n_obs), (sol.x, sol.s, sol.z)
+        sols, new_warm = self._solve_groups_traj(rs, ps, obs_r, obs_p, warm)
+        a = self._gather_cols(
+            [s.x[:, 3].reshape(T, -1) for s in sols], T)
+        return a, new_warm
 
     def alphas_and_grads_traj(self, rs, ps, obs_r, obs_p, warm=None):
         """(alphas (T, n_obs), d_r (T, n_obs, 3), d_p (T, n_obs, 3), warm) in
-        one fused solve over the whole trajectory; gradients via the envelope
-        theorem with (x*, z*) frozen (proximity_gradient.py:50-88)."""
+        one fused set of group solves over the whole trajectory; gradients
+        via the envelope theorem with (x*, z*) frozen
+        (proximity_gradient.py:50-88)."""
         T = rs.shape[0]
-        c, G, h = jax.vmap(
-            lambda r_, p_: self.assemble(r_, p_, obs_r, obs_p))(rs, ps)
-        flat = lambda a: a.reshape((T * self.n_obs,) + a.shape[2:])
-        sol = self._solve(flat(c), flat(G), flat(h), warm=warm)
-        x = jax.lax.stop_gradient(sol.x).reshape(T, self.n_obs, -1)
-        z = jax.lax.stop_gradient(sol.z).reshape(T, self.n_obs, -1)
-        d_r, d_p = self._envelope_grads(rs, ps, obs_r, obs_p, x, z)
-        alphas = x[..., 3].reshape(T, self.n_obs)
-        return alphas, d_r, d_p, (sol.x, sol.s, sol.z)
+        sols, new_warm = self._solve_groups_traj(rs, ps, obs_r, obs_p, warm)
+        xs = tuple(jax.lax.stop_gradient(s.x).reshape(T, -1, s.x.shape[-1])
+                   for s in sols)
+        zs = tuple(jax.lax.stop_gradient(s.z).reshape(T, -1, s.z.shape[-1])
+                   for s in sols)
+        d_r, d_p = self._envelope_grads(rs, ps, obs_r, obs_p, xs, zs)
+        alphas = self._gather_cols([x[..., 3] for x in xs], T)
+        return alphas, d_r, d_p, new_warm
 
-    def _envelope_grads(self, rs, ps, obs_r, obs_p, x, z):
+    def _envelope_grads(self, rs, ps, obs_r, obs_p, xs, zs):
         """d alpha / d(r, p) per (knot, obstacle) with (x, z) frozen
         (proximity_gradient.py:50-88).  FORWARD-mode over the 6 pose dims:
         the per-pair Lagrangian is scalar but shares one assembly across all
         obstacles, so 6 JVP columns of the batched assembly beat n_obs
-        reverse sweeps (measured 8 ms -> ~2 ms per iteration at batch 64)."""
+        reverse sweeps (measured 8 ms -> ~2 ms per iteration at batch 64).
+        ``xs``/``zs``: per-group (T, n_g, nv_g)/(T, n_g, nr_g) tuples."""
 
-        def lag_vec(r_, p_, x_, z_):
-            _, G_, h_ = self.assemble(r_, p_, obs_r, obs_p)
-            return jnp.sum(z_ * (jnp.einsum("orv,ov->or", G_, x_) - h_),
-                           axis=-1)
+        def lag_vec(r_, p_, xs_, zs_):
+            grouped = self.assemble_groups(r_, p_, obs_r, obs_p)
+            lags = []
+            for gi in range(len(grouped)):
+                _, G_, h_ = grouped[gi]
+                lags.append(jnp.sum(
+                    zs_[gi] * (jnp.einsum("orv,ov->or", G_, xs_[gi]) - h_),
+                    axis=-1))
+            return jnp.concatenate(lags)[jnp.asarray(self.inv_perm)]
 
-        return jax.vmap(jax.jacfwd(lag_vec, argnums=(0, 1)))(rs, ps, x, z)
+        return jax.vmap(jax.jacfwd(lag_vec, argnums=(0, 1)))(rs, ps, xs, zs)
 
     def alphas_and_grads(self, r, p, obs_r, obs_p):
         """Single-pose variant of :meth:`alphas_and_grads_traj`."""
@@ -151,14 +234,17 @@ class CollisionScene:
 
     def alphas_and_grads_from_solution(self, rs, ps, obs_r, obs_p, sol):
         """Envelope gradients from an ALREADY-CONVERGED solver state for the
-        SAME poses (no PDIP solve): ``sol`` = (x, s, z) over (T*n_obs,).
-        Used by the backward pass, which evaluates at exactly the trajectory
-        the accepted forward candidate solved."""
+        SAME poses (no PDIP solve): ``sol`` = per-group (x, s, z) tuple over
+        flat (T*n_g,) batches.  Used by the backward pass, which evaluates at
+        exactly the trajectory the accepted forward candidate solved."""
         T = rs.shape[0]
-        x = jax.lax.stop_gradient(sol[0]).reshape(T, self.n_obs, -1)
-        z = jax.lax.stop_gradient(sol[2]).reshape(T, self.n_obs, -1)
-        d_r, d_p = self._envelope_grads(rs, ps, obs_r, obs_p, x, z)
-        return x[..., 3], d_r, d_p
+        xs = tuple(jax.lax.stop_gradient(x).reshape(T, -1, x.shape[-1])
+                   for (x, _, _) in sol)
+        zs = tuple(jax.lax.stop_gradient(z).reshape(T, -1, z.shape[-1])
+                   for (_, _, z) in sol)
+        d_r, d_p = self._envelope_grads(rs, ps, obs_r, obs_p, xs, zs)
+        alphas = self._gather_cols([x[..., 3] for x in xs], T)
+        return alphas, d_r, d_p
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,9 +54,9 @@ class ConeThroughWall(System):
         return full_pose_jacobian_rows(self.nx, d_r, d_p)
 
 
-def make_system(N: int = 60, pdip_tol: float = 1e-6, pdip_iters: int = 30,
+def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
                 backend: str = "xla",
-                pdip_jitter: float = 0.0,
+                pdip_jitter: float = 0.0, N: int = 60,
                 fd_jacobians: bool = False) -> ConeThroughWall:
     obstacles = (
         prim.rect_prism(10.0, 10.0, 1.0),
@@ -108,5 +108,11 @@ def make_problem(dtype=jnp.float64, N: int = 60, backend: str = "auto"):
                       convio_tol=1e-4, rho0=1.0, phi=10.0,
                       reg_min=1e-6, reg_max=1e2)
     X0 = jnp.asarray(np.tile(x0, (N, 1)), dtype)
-    U0 = jnp.asarray(np.load(_DATA)["cone_U0"][: N - 1], dtype)
+    cone_U0 = np.load(_DATA)["cone_U0"]
+    if N - 1 > cone_U0.shape[0]:
+        raise ValueError(
+            f"cone_through_wall N={N} exceeds the pinned seed-2 U0 fixture "
+            f"horizon ({cone_U0.shape[0] + 1}); pass N <= "
+            f"{cone_U0.shape[0] + 1}")
+    U0 = jnp.asarray(cone_U0[: N - 1], dtype)
     return sys, params, X0, U0, cfg
