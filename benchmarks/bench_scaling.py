@@ -42,23 +42,32 @@ def main():
                 pb, xb, ub = shard_scenarios(mesh, pb, xb, ub)
             return pb, xb, ub
 
-        t0 = time.time()
-        pb, xb, ub = make(0)
-        st = solve_batch(sys_, pb, cfg, xb, ub)
-        conv0 = int(jax.device_get(jnp.sum(st.converged)))  # real sync
-        print(f"batch {b}: compile+first solve {time.time()-t0:.1f}s, "
-              f"converged {conv0}/{b}", flush=True)
+        def fetch(st):
+            # ONE fused fetch (each device_get is a full relay RTT)
+            return jax.device_get(jnp.stack(
+                [jnp.sum(st.converged).astype(jnp.float32),
+                 jnp.mean(st.iter.astype(jnp.float32))]))
 
         reps = 3
-        convs, iters_mean = [], []
+        inputs = [make(r) for r in range(reps + 1)]
         t0 = time.time()
+        pb, xb, ub = inputs[0]
+        c0, _ = fetch(solve_batch(sys_, pb, cfg, xb, ub))  # compile + warm
+        print(f"batch {b}: compile+warm {time.time()-t0:.1f}s, "
+              f"converged {int(c0)}/{b}", flush=True)
+
+        convs, iters_mean, walls = [], [], []
         for r in range(reps):
-            pb, xb, ub = make(r + 1)
-            st = solve_batch(sys_, pb, cfg, xb, ub)
-            convs.append(int(jax.device_get(jnp.sum(st.converged))))
-            iters_mean.append(float(jax.device_get(jnp.mean(st.iter))))
-        wall = (time.time() - t0) / reps
+            pb, xb, ub = inputs[r + 1]
+            t0 = time.time()
+            c, mi = fetch(solve_batch(sys_, pb, cfg, xb, ub))
+            walls.append(time.time() - t0)
+            convs.append(int(c))
+            iters_mean.append(float(mi))
+        walls.sort()
+        wall = walls[len(walls) // 2]  # median, robust to relay hiccups
         row = {"batch": b, "wall_s": round(wall, 3),
+               "walls_all_s": [round(w, 3) for w in walls],
                "solves_per_s": round(b / wall, 2),
                "converged": convs[-1],
                "mean_iters": round(sum(iters_mean) / reps, 1)}
