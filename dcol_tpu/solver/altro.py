@@ -84,9 +84,11 @@ class AltroConfig:
     # members were masked out of the backtracking loop (active=...), chunked
     # evaluation became a clear win under vmap — the loop trip count is the
     # max over the batch, so halving a straggler's chunk count helps every
-    # member: quadrotor batch-64 TPU, same process: C=1 41.0, C=2 53.0,
-    # C=4 45.9 solves/s.
-    ls_parallel: int = 2
+    # member.  Round-2 (single padded kernel layout): C=1 41.0, C=2 53.0,
+    # C=4 45.9 solves/s.  Round-3 (obstacle-kind grouped kernels, chunks
+    # ~2x cheaper): C=1 64.3, C=2 67.3, C=4 68.6, C=8 65.4, with C=4 > C=2
+    # reproducible across alternating same-process reps (tools/sweep_ls.py).
+    ls_parallel: int = 4
 
 
 class Metrics(NamedTuple):
