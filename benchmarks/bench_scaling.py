@@ -1,8 +1,11 @@
 """Scenario-batch scaling: quadrotor ALTRO solves/s vs. batch size, plus the
 sharded-mesh path (scaling-efficiency report, BASELINE.md north star).
 
-Usage: python benchmarks/bench_scaling.py [batch1 batch2 ...]
+Usage: python benchmarks/bench_scaling.py [--block B] [batch1 batch2 ...]
 On a multi-device mesh the batch is sharded over the 'scenario' axis.
+``--block B`` runs each batch through solve_batch_blocked (lax.map over
+B-scenario blocks) instead of one monolithic vmap — bounds the lock-step
+straggler tail to a block and keeps kernels at the throughput-optimal width.
 
 Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay, so
 every timed region ends with a real device fetch (``jax.device_get``) before
@@ -23,11 +26,18 @@ import jax.numpy as jnp
 
 
 def main():
-    from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
+    from dcol_tpu.parallel.batch import (perturb_scenarios, solve_batch,
+                                         solve_batch_blocked)
     from dcol_tpu.parallel.mesh import scenario_mesh, shard_scenarios
     from dcol_tpu.systems import quadrotor
 
-    batches = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
+    argv = sys.argv[1:]
+    block = None
+    if "--block" in argv:
+        i = argv.index("--block")
+        block = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    batches = [int(a) for a in argv] or [8, 16, 32, 64]
     n_dev = jax.device_count()
     print(f"devices: {n_dev} x {jax.devices()[0].platform}", flush=True)
     sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)
@@ -35,6 +45,11 @@ def main():
 
     results = []
     for b in batches:
+        if block is not None and b > block and b % block == 0:
+            run = lambda p, x, u: solve_batch_blocked(
+                sys_, p, cfg, x, u, block=block)
+        else:
+            run = lambda p, x, u: solve_batch(sys_, p, cfg, x, u)
         def make(seed):
             pb, xb, ub = perturb_scenarios(
                 params, X0, U0, n=b, seed=seed, x0_sigma=0.02)
@@ -52,21 +67,23 @@ def main():
         inputs = [make(r) for r in range(reps + 1)]
         t0 = time.time()
         pb, xb, ub = inputs[0]
-        c0, _ = fetch(solve_batch(sys_, pb, cfg, xb, ub))  # compile + warm
+        c0, _ = fetch(run(pb, xb, ub))  # compile + warm
         print(f"batch {b}: compile+warm {time.time()-t0:.1f}s, "
-              f"converged {int(c0)}/{b}", flush=True)
+              f"converged {int(c0)}/{b}"
+              + (f" (block {block})" if block and b > block else ""),
+              flush=True)
 
         convs, iters_mean, walls = [], [], []
         for r in range(reps):
             pb, xb, ub = inputs[r + 1]
             t0 = time.time()
-            c, mi = fetch(solve_batch(sys_, pb, cfg, xb, ub))
+            c, mi = fetch(run(pb, xb, ub))
             walls.append(time.time() - t0)
             convs.append(int(c))
             iters_mean.append(float(mi))
         walls.sort()
         wall = walls[len(walls) // 2]  # median, robust to relay hiccups
-        row = {"batch": b, "wall_s": round(wall, 3),
+        row = {"batch": b, "block": block, "wall_s": round(wall, 3),
                "walls_all_s": [round(w, 3) for w in walls],
                "solves_per_s": round(b / wall, 2),
                "converged": convs[-1],

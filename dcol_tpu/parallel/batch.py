@@ -42,3 +42,47 @@ def solve_batch(sys, params_b, cfg: altro.AltroConfig, X0_b, U0_b):
     """vmapped full solves; one XLA computation for the whole batch."""
     return jax.vmap(lambda p, x0, u0: altro.solve(sys, p, cfg, x0, u0))(
         params_b, X0_b, U0_b)
+
+
+@partial(jax.jit, static_argnames=("sys", "cfg", "block"))
+def solve_batch_blocked(sys, params_b, cfg: altro.AltroConfig, X0_b, U0_b,
+                        *, block: int = 128):
+    """Block-sequential batched solves: ``lax.map`` over blocks of ``block``
+    scenarios, each block a vmapped :func:`altro.solve`.
+
+    Why not one big vmap: under ``vmap`` the outer AL ``while_loop`` runs in
+    LOCK-STEP, so the whole batch pays the slowest member's iteration count
+    (and, within each iteration, the deepest line-search backtracker's chunk
+    count — the active mask only cheapens, not eliminates, converged
+    members).  The straggler tail grows with batch size while per-iteration
+    throughput saturates at ~128 scenarios on one chip, which is exactly the
+    measured scaling falloff (69 -> 54 solves/s from batch 128 to 1024,
+    benchmarks/scaling_r03_raw.log, mean iters flat at 48).  Solving in
+    sequential blocks bounds every straggler's blast radius to its own block
+    and keeps each kernel launch at the throughput-optimal width.
+
+    Per member this runs the same algorithm as :func:`solve_batch` — but NOT
+    bitwise-identically: XLA optimises each batch shape separately, so
+    reductions reassociate and a scenario sitting exactly on a line-search /
+    convergence boundary can take a different iteration count (pinned by
+    tests/test_parallel.py on well-conditioned scenarios; same caveat as any
+    re-compile at a new batch size).  ``block`` must divide the batch.  One
+    XLA computation; compile cost is that of a ``block``-wide solve, not the
+    full batch."""
+    n = X0_b.shape[0]
+    if n % block:
+        raise ValueError(f"batch {n} not divisible by block {block}")
+    if n == block:
+        return solve_batch(sys, params_b, cfg, X0_b, U0_b)
+    nb = n // block
+    to_blocks = lambda a: a.reshape((nb, block) + a.shape[1:])
+    pb = jax.tree_util.tree_map(to_blocks, params_b)
+
+    def one_block(args):
+        p, x0, u0 = args
+        return jax.vmap(lambda pp, xx, uu: altro.solve(sys, pp, cfg, xx, uu)
+                        )(p, x0, u0)
+
+    out = jax.lax.map(one_block, (pb, to_blocks(X0_b), to_blocks(U0_b)))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((n,) + a.shape[2:]), out)

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dcol_tpu.parallel import checkpoint
-from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
+from dcol_tpu.parallel.batch import (perturb_scenarios, solve_batch,
+                                     solve_batch_blocked)
 from dcol_tpu.parallel.mesh import (scenario_mesh, solve_batch_sharded,
                                     summarize)
 from dcol_tpu.solver import altro, mpc
@@ -36,6 +37,30 @@ def test_sharded_solve_matches_unsharded():
                                atol=1e-12)
     s = summarize(sharded)
     assert s["n_converged"] == 8 and s["n_failed"] == 0
+
+
+def test_blocked_solve_matches_unblocked():
+    """Block-sequential execution (lax.map over blocks) runs the same
+    algorithm as the one-big-vmap batch — only the schedule differs
+    (stragglers stop stalling other blocks).  Bitwise equality across batch
+    shapes is NOT promised (XLA reassociates per shape), so this pins
+    well-conditioned scenarios: same convergence, same iteration counts,
+    same trajectories to solver tolerance."""
+    sys_, params, X0, U0, cfg = _small_problem()
+    params_b, X0_b, U0_b = perturb_scenarios(
+        params, X0, U0, n=6, seed=5, x0_sigma=0.01)
+    full = solve_batch(sys_, params_b, cfg, X0_b, U0_b)
+    blocked = solve_batch_blocked(sys_, params_b, cfg, X0_b, U0_b, block=2)
+    assert bool(jnp.all(full.converged))
+    assert bool(jnp.all(blocked.converged))
+    np.testing.assert_array_equal(np.asarray(blocked.iter),
+                                  np.asarray(full.iter))
+    np.testing.assert_allclose(np.asarray(blocked.X), np.asarray(full.X),
+                               atol=1e-6)
+    # non-divisible block is an explicit error, not silent truncation
+    import pytest
+    with pytest.raises(ValueError):
+        solve_batch_blocked(sys_, params_b, cfg, X0_b, U0_b, block=4)
 
 
 def test_checkpoint_roundtrip(tmp_path):
