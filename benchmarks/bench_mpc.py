@@ -6,8 +6,13 @@ tests — see tests/conftest.py) the scenario batch is sharded over the
 'scenario' axis, so the same script records both the one-chip TPU number and
 the 8192-scenario sharded dryrun artifact (BASELINE.json config #5 analogue).
 
-Usage: python benchmarks/bench_mpc.py [n_scenarios] [n_steps] [horizon_N]
-       [max_iters_per_tick]
+Usage: python benchmarks/bench_mpc.py [--block B] [n_scenarios] [n_steps]
+       [horizon_N] [max_iters_per_tick]
+
+``--block B``: lax.map the closed loop over B-scenario blocks instead of one
+monolithic vmap — caps peak live memory at a block's worth (the 8192x12
+monolithic run crashed the TPU worker on suspected HBM pressure) and keeps
+kernels at the throughput-optimal width.
 
 Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay, so
 every timed region ends with a real device fetch (``jax.device_get``).
@@ -33,10 +38,16 @@ def main():
     from dcol_tpu.systems import quadrotor
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_scen = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    horizon = int(sys.argv[3]) if len(sys.argv) > 3 else 40
-    tick_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    argv = sys.argv[1:]
+    block = None
+    if "--block" in argv:
+        i = argv.index("--block")
+        block = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    n_scen = int(argv[0]) if len(argv) > 0 else 8
+    n_steps = int(argv[1]) if len(argv) > 1 else 10
+    horizon = int(argv[2]) if len(argv) > 2 else 40
+    tick_iters = int(argv[3]) if len(argv) > 3 else 8
     n_dev = jax.device_count()
     print(f"devices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
     sys_, params, X0, U0, cfg = quadrotor.make_problem(
@@ -54,8 +65,21 @@ def main():
         mesh = scenario_mesh()
         x0s = jax.device_put(x0s, NamedSharding(mesh, P("scenario", None)))
 
-    run = jax.jit(jax.vmap(
-        lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, n_steps)))
+    one = lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, n_steps)
+    if block is not None and n_scen > block and n_scen % block == 0 \
+            and not sharded:
+        nb = n_scen // block
+
+        def run_blocked(x0s):
+            out = jax.lax.map(jax.vmap(one),
+                              x0s.reshape(nb, block, x0s.shape[-1]))
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((n_scen,) + a.shape[2:]), out)
+
+        run = jax.jit(run_blocked)
+    else:
+        block = None
+        run = jax.jit(jax.vmap(one))
     out = run(x0s)
     jax.device_get(out.iters[0])  # real device sync (compile + first run)
     t0 = time.time()
@@ -69,7 +93,7 @@ def main():
     print(json.dumps({
         "scenarios": n_scen, "steps": n_steps, "horizon_N": horizon,
         "max_iters_per_tick": tick_iters,
-        "devices": n_dev, "sharded": sharded,
+        "devices": n_dev, "sharded": sharded, "block": block,
         "wall_s": round(wall, 3),
         "mpc_ticks_per_s": round(ticks / wall, 1),
         "finite": finite,
