@@ -88,9 +88,14 @@ def warm_initialize(lay: ConeLayout, x, s, z, margin: float = 1e-3):
 @partial(jax.jit, static_argnames=("lay", "max_iters", "jitter"))
 def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                max_iters: int = 30, jitter: float = 0.0,
-               warm=None) -> SocpSolution:
+               warm=None, skip=None) -> SocpSolution:
     """Solve a batch of conic LPs; leading dims of c/G/h are batch dims.
-    ``warm``: optional (x, s, z) from a previous nearby solve."""
+    ``warm``: optional (x, s, z) from a previous nearby solve.
+    ``skip``: optional bool (broadcastable to the batch shape) marking
+    members whose RESULT THE CALLER DISCARDS: they enter the loop already
+    frozen (zero iterations, output = the initial/warm iterate).  Lock-step
+    batched callers (the ALTRO line search) use this to make already-decided
+    members free instead of re-solving work nobody reads."""
     dt = G.dtype
     if warm is not None:
         x, s, z = warm_initialize(lay, *warm)
@@ -99,6 +104,8 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     e = gen_e(lay, dt)
     batch_shape = G.shape[:-2]
     done0 = jnp.zeros(batch_shape, dtype=bool)
+    if skip is not None:
+        done0 = done0 | skip
     iters0 = jnp.zeros(batch_shape, dtype=jnp.int32)
 
     def body(carry):

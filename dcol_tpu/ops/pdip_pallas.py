@@ -276,7 +276,8 @@ def _chol_solve(Lr, b, nv):
 
 
 def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
-                 jitter: float, use_warm: bool = False):
+                 jitter: float, use_warm: bool = False,
+                 use_skip: bool = False):
     blocks = _layout_blocks(lay)
     kinds = tuple(b[0] for b in blocks)
     degree = lay.degree
@@ -287,6 +288,10 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
         return tuple(ref_or_arr[o:o + r, :] for _, o, r in blocks)
 
     def kernel(*refs):
+        skip_ref = None
+        if use_skip:  # skip is always the LAST input (before the 5 outputs)
+            skip_ref = refs[-6]
+            refs = refs[:-6] + refs[-5:]
         if use_warm:
             (G_ref, h_ref, c_ref, xw_ref, sw_ref, zw_ref,
              x_ref, s_ref, z_ref, mu_ref, it_ref) = refs
@@ -336,7 +341,13 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
 
         # NOTE: the loop carry holds the done-mask as f32 (1.0 = done) —
         # Mosaic cannot legalize scf.for with vector<i1> carries
-        done = jnp.zeros((1, BT), dtype=dt)
+        if use_skip:
+            # skip-flagged lanes start done: an all-skipped batch tile exits
+            # the while_loop after ZERO body iterations (output = the
+            # initial/warm iterate) — the caller discards their results
+            done = skip_ref[...].astype(dt)
+        else:
+            done = jnp.zeros((1, BT), dtype=dt)
         iters = jnp.zeros((1, BT), dtype=jnp.float32)
 
         def body(_, carry):
@@ -428,9 +439,12 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
 def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                       max_iters: int = 30, jitter: float = 0.0,
                       block: int = 1024, interpret: bool = False,
-                      warm=None) -> SocpSolution:
+                      warm=None, skip=None) -> SocpSolution:
     """Drop-in batched solver: c (B, NV), G (B, NR, NV), h (B, NR).
     ``warm``: optional (x, s, z) triple from a previous nearby solve.
+    ``skip``: optional (B,) bool — members whose result the caller discards;
+    they start in the done state, so an all-skipped batch tile costs ZERO
+    solver iterations (see solve_socp).
     ``block`` is the lane-tile width; it is clamped down to the 128-padded
     batch so small batches never pay instruction issue for unused lanes."""
     B, nr, nv = G.shape
@@ -450,7 +464,8 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     Gl, hl, cl = to_lanes(G), to_lanes(h), to_lanes(c)
     inputs = [Gl, hl, cl]
     kernel = _make_kernel(lay, nv, tol, max_iters, jitter,
-                          use_warm=warm is not None)
+                          use_warm=warm is not None,
+                          use_skip=skip is not None)
     grid = (Bp // block,)
 
     def bspec(*dims):
@@ -465,6 +480,10 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
         inputs += [to_lanes(xw.astype(dt)), to_lanes(sw.astype(dt)),
                    to_lanes(zw.astype(dt))]
         in_specs += [bspec(nv), bspec(nr), bspec(nr)]
+    if skip is not None:
+        inputs.append(to_lanes(
+            jnp.broadcast_to(skip, (B,)).astype(dt)[:, None]))
+        in_specs.append(bspec(1))
 
     x, s, z, mu, iters = pl.pallas_call(
         kernel,

@@ -183,7 +183,10 @@ def eval_constraints(sys, params, X, U, warm=None):
 # ---------------------------------------------------------------------------
 
 def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
-                  grads_from_accepted=False):
+                  grads_from_accepted=False, skip=None):
+    """``skip``: scalar bool — this member's output is discarded by the
+    caller (converged/failed member of a lock-step batch); its polish PDIP
+    solve runs zero iterations."""
     N = sys.N
     nx, nu = sys.nx, sys.nu
     dt = X.dtype
@@ -200,7 +203,7 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
     if warm is not None and grads_from_accepted:
         hx, gx = sys.constraints_x_vg_from_solution(params, X, warm)
     else:
-        hx, gx, _ = sys.constraints_x_vg_traj(params, X, warm=warm)
+        hx, gx, _ = sys.constraints_x_vg_traj(params, X, warm=warm, skip=skip)
     hu = jax.vmap(lambda u: sys.constraints_u(params, u))(U)
     gu = jax.vmap(lambda u: sys.constraints_u_grad(params, u))(U)
 
@@ -309,12 +312,13 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
     alphas_all = (0.5 ** jnp.arange(1 + n_chunks * C)).astype(dt)
     valid_all = jnp.arange(1 + n_chunks * C) < L
 
-    def eval_candidates(a_c, valid_c, w):
+    def eval_candidates(a_c, valid_c, w, skip=None):
         """One batched evaluation of a static-size set of candidate alphas:
         candidates are FLATTENED into the PDIP batch (one solver call over
         C*N knots) — a pallas_call under two nested vmaps (scenarios x
         candidates) miscompiles on TPU, and the flat batch is more
-        lane-efficient anyway."""
+        lane-efficient anyway.  ``skip``: scalar bool — this member's result
+        is discarded, so its PDIP lanes run zero iterations."""
         Cc = a_c.shape[0]
         N = sys.N
         Xn, Un = jax.vmap(
@@ -322,7 +326,7 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
         Xf = Xn.reshape(Cc * N, sys.nx)
         w_t = jax.tree_util.tree_map(
             lambda a: jnp.tile(a, (Cc,) + (1,) * (a.ndim - 1)), w)
-        hxf, wf = sys.constraints_x_traj(params, Xf, warm=w_t)
+        hxf, wf = sys.constraints_x_traj(params, Xf, warm=w_t, skip=skip)
         hxn = hxf.reshape(Cc, N, -1)
         wn = jax.tree_util.tree_map(
             lambda a: a.reshape((Cc, a.shape[0] // Cc) + a.shape[1:]), wf)
@@ -344,17 +348,40 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
 
     # phase 1: the full step alpha = 1 alone (accepted on ~90% of
     # iterations, so the common case costs ONE constraint batch, like the
-    # reference's first attempt — without per-scenario attempt stragglers)
-    ok1, cand1, w1 = eval_candidates(alphas_all[:1], valid_all[:1], warm)
+    # reference's first attempt — without per-scenario attempt stragglers).
+    # Inactive members probe alpha = 0 with their PDIP lanes SKIPPED: the
+    # rollout reproduces their unchanged trajectory, the incoming warm is
+    # the converged solution at exactly that trajectory (AltroState.warm
+    # invariant), and the solver returns it untouched at zero iterations.
+    a1 = alphas_all[:1]
+    skip1 = None
+    if active is not None:
+        a1 = jnp.where(active, a1, jnp.zeros((1,), dt))
+        skip1 = ~active
+    ok1, cand1, w1 = eval_candidates(a1, valid_all[:1], warm, skip=skip1)
     sel = _where(ok1, cand1, sel0)
     found0 = ok1 if active is None else (ok1 | ~active)
 
-    # phase 2: chunks of C candidates {1/2, 1/4, ...} only while unaccepted
+    # phase 2: chunks of C candidates {1/2, 1/4, ...} only while unaccepted.
+    # Under vmap the while_loop runs in lock-step, so members that already
+    # accepted a candidate still execute every remaining chunk another member
+    # needs.  Their results are DISCARDED (the ~found guard below), so make
+    # their lanes free: candidate alphas := the member's selected alpha (the
+    # batched rollout then reproduces its accepted trajectory bit-exactly),
+    # warm := the selected candidate's converged PDIP solution, and the PDIP
+    # solve is SKIPPED outright for them (skip=found: every lane enters the
+    # kernel done, so their batch tiles exit the while_loop after zero
+    # iterations and return the converged warm values).  A straggler's deep
+    # backtrack no longer costs the whole batch full-price PDIP chunks —
+    # only the rollout/cost evaluation stays lock-step.  Active
+    # still-searching members see bit-identical inputs either way.
     def body(carry):
         ci, found, sel, w = carry
         a_c = jax.lax.dynamic_slice(alphas_all, (1 + ci * C,), (C,))
         v_c = jax.lax.dynamic_slice(valid_all, (1 + ci * C,), (C,))
-        any_ok, cand, w_last = eval_candidates(a_c, v_c, w)
+        a_c = jnp.where(found, sel[5], a_c)
+        w_in = _where(found, sel[6], w)
+        any_ok, cand, w_last = eval_candidates(a_c, v_c, w_in, skip=found)
         sel = _where(any_ok & ~found, cand, sel)
         return ci + 1, found | any_ok, sel, w_last
 
@@ -414,7 +441,8 @@ def altro_iteration(sys, params, cfg, st: AltroState,
     dt = st.X.dtype
     K, k, delta_J, kmax = backward_pass(
         sys, params, st.X, st.U, st.mu, st.mux, st.lambd, st.rho, st.reg,
-        warm=st.warm, grads_from_accepted=cfg.grads_from_accepted)
+        warm=st.warm, grads_from_accepted=cfg.grads_from_accepted,
+        skip=None if active is None else ~active)
     X, U, hx, hu, J, alpha, warm = forward_pass(
         sys, params, cfg, st.X, st.U, K, k, st.mu, st.mux, st.lambd, st.rho,
         st.hx, st.hu, st.warm, active=active)

@@ -42,6 +42,14 @@ class ProximityOptions:
     # 1024 measured 27% faster than 256 on the quadrotor constraint batch
     # (70400 pair problems: 12.8 -> 9.3 ms; benchmarks/probe_iter_cost.py)
     block: int = 1024
+    # Latency mode: merge ALL obstacle groups into ONE padded-layout batch
+    # (the scene-wide (nv, n_ort, S_PAD, S_PAD) shape, provably equivalent —
+    # assembly.py module docstring) so every constraint batch is a single
+    # kernel launch instead of one per obstacle kind.  Each launch pays fixed
+    # sequencing/dispatch cost that dominates at tiny batches (batch-1 MPC /
+    # single-solve latency); at throughput batches the exact grouped layouts
+    # win on instruction count.  Default False = exact groups.
+    merge_groups: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,13 +79,30 @@ class CollisionScene:
         return assembly.make_layout(self.robot, self.obstacles[i], nv, n_ort)
 
     # -- obstacle groups (exact layouts, zero padding rows) ----------------
+    def member_layout(self, i: int) -> assembly.PairLayout:
+        """The PairLayout obstacle ``i`` is assembled with: its exact layout
+        (grouped mode) or the scene-wide padded layout (merge_groups)."""
+        if self.opts.merge_groups:
+            nv, n_ort = self.dims
+            return assembly.make_layout(self.robot, self.obstacles[i],
+                                        nv, n_ort)
+        return assembly.exact_layout(self.robot, self.obstacles[i])
+
     @property
     def groups(self) -> Tuple[Tuple[assembly.PairLayout, Tuple[int, ...]], ...]:
         """Obstacles grouped by their EXACT pair layout.  Each group's pair
         problems share one static shape with zero padding rows (no box rows,
         no vacuous SOCs — a polytope-polytope group is a pure-orthant LP),
         so each group is one batched solve / one pallas kernel.  Static:
-        derived from the shape tuple only."""
+        derived from the shape tuple only.
+
+        With ``opts.merge_groups`` (latency mode) there is instead ONE group
+        of all obstacles under the scene-wide padded layout; the group's
+        ``lay`` element is then only meaningful for its shared cone dims
+        (n_ort, s1, s2, nv) — per-obstacle assembly uses
+        :meth:`member_layout`."""
+        if self.opts.merge_groups:
+            return ((self.member_layout(0), tuple(range(self.n_obs))),)
         groups = []  # [(PairLayout, [obstacle indices])]
         for i, obs in enumerate(self.obstacles):
             lay = assembly.exact_layout(self.robot, obs)
@@ -128,32 +153,35 @@ class CollisionScene:
             cs, Gs, hs = [], [], []
             for i in idx:
                 c, G, h = assembly.assemble_pair(
-                    self.robot, self.obstacles[i], lay, r, p,
-                    obs_r[i], obs_p[i])
+                    self.robot, self.obstacles[i], self.member_layout(i),
+                    r, p, obs_r[i], obs_p[i])
                 cs.append(c); Gs.append(G); hs.append(h)
             out.append((jnp.stack(cs), jnp.stack(Gs), jnp.stack(hs)))
         return out
 
     # -- solver dispatch --------------------------------------------------
-    def _solve(self, c, G, h, lay: ConeLayout, warm=None):
+    def _solve(self, c, G, h, lay: ConeLayout, warm=None, skip=None):
         """Solve a flat batch of pair problems with the configured backend.
         c/G/h have one leading batch dim; ``warm`` is an optional (x, s, z)
-        triple from a previous nearby solve."""
+        triple from a previous nearby solve; ``skip`` (bool, broadcastable to
+        the batch) marks members whose result the caller discards — they
+        cost zero solver iterations (see solve_socp)."""
         if self.opts.backend == "pallas":
             from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
 
             return solve_socp_pallas(
                 c, G, h, lay, tol=self.opts.tol,
                 max_iters=self.opts.max_iters, jitter=self.opts.jitter,
-                block=self.opts.block, warm=warm)
+                block=self.opts.block, warm=warm, skip=skip)
         return solve_socp(c, G, h, lay, tol=self.opts.tol,
                           max_iters=self.opts.max_iters,
-                          jitter=self.opts.jitter, warm=warm)
+                          jitter=self.opts.jitter, warm=warm, skip=skip)
 
-    def _solve_groups_traj(self, rs, ps, obs_r, obs_p, warm=None):
+    def _solve_groups_traj(self, rs, ps, obs_r, obs_p, warm=None, skip=None):
         """One batched solve PER GROUP over a trajectory of poses (T, 3).
         Returns (list of per-group solutions with flat (T*n_g) batch,
-        warm tuple).  ``warm`` is the matching tuple from a previous call."""
+        warm tuple).  ``warm`` is the matching tuple from a previous call;
+        ``skip`` is a scalar (or (T,)) bool marking discarded results."""
         T = rs.shape[0]
         grouped = jax.vmap(
             lambda r_, p_: self.assemble_groups(r_, p_, obs_r, obs_p))(rs, ps)
@@ -163,9 +191,12 @@ class CollisionScene:
             n_g = len(idx)
             flat = lambda a: a.reshape((T * n_g,) + a.shape[2:])
             w = warm[gi] if warm is not None else None
+            sk = (None if skip is None
+                  else jnp.broadcast_to(
+                      jnp.reshape(skip, (-1, 1)), (T, n_g)).reshape(T * n_g))
             sols.append(self._solve(
                 flat(c), flat(G), flat(h),
-                ConeLayout(lay.n_ort, lay.s1, lay.s2), warm=w))
+                ConeLayout(lay.n_ort, lay.s1, lay.s2), warm=w, skip=sk))
         return sols, tuple((s.x, s.s, s.z) for s in sols)
 
     def _gather_cols(self, per_group, T):
@@ -180,24 +211,27 @@ class CollisionScene:
         a, _ = self.alphas_traj(r[None], p[None], obs_r, obs_p)
         return a[0]
 
-    def alphas_traj(self, rs, ps, obs_r, obs_p, warm=None):
+    def alphas_traj(self, rs, ps, obs_r, obs_p, warm=None, skip=None):
         """(alphas (T, n_obs), solver warm state) for a trajectory of robot
         poses rs/ps (T, 3): assembly is vmapped per knot, then each obstacle
         GROUP's (T x n_g) pair problems are one flat batched solve (one
         kernel launch per group on the pallas backend)."""
         T = rs.shape[0]
-        sols, new_warm = self._solve_groups_traj(rs, ps, obs_r, obs_p, warm)
+        sols, new_warm = self._solve_groups_traj(rs, ps, obs_r, obs_p, warm,
+                                                 skip=skip)
         a = self._gather_cols(
             [s.x[:, 3].reshape(T, -1) for s in sols], T)
         return a, new_warm
 
-    def alphas_and_grads_traj(self, rs, ps, obs_r, obs_p, warm=None):
+    def alphas_and_grads_traj(self, rs, ps, obs_r, obs_p, warm=None,
+                              skip=None):
         """(alphas (T, n_obs), d_r (T, n_obs, 3), d_p (T, n_obs, 3), warm) in
         one fused set of group solves over the whole trajectory; gradients
         via the envelope theorem with (x*, z*) frozen
         (proximity_gradient.py:50-88)."""
         T = rs.shape[0]
-        sols, new_warm = self._solve_groups_traj(rs, ps, obs_r, obs_p, warm)
+        sols, new_warm = self._solve_groups_traj(rs, ps, obs_r, obs_p, warm,
+                                                 skip=skip)
         xs = tuple(jax.lax.stop_gradient(s.x).reshape(T, -1, s.x.shape[-1])
                    for s in sols)
         zs = tuple(jax.lax.stop_gradient(s.z).reshape(T, -1, s.z.shape[-1])
@@ -316,12 +350,13 @@ class System:
         r, p = self.robot_pose(x)
         return 1.0 - self.scene.alphas(r, p, params["obs_r"], params["obs_p"])
 
-    def constraints_x_traj(self, params, X, warm=None):
+    def constraints_x_traj(self, params, X, warm=None, skip=None):
         """((T, ncx) constraint values, solver warm state) for a state
-        trajectory, as one flat batched PDIP solve."""
+        trajectory, as one flat batched PDIP solve.  ``skip``: scalar bool
+        marking this member's results as discarded (lock-step line search)."""
         rs, ps = jax.vmap(self.robot_pose)(X)
         a, new_warm = self.scene.alphas_traj(
-            rs, ps, params["obs_r"], params["obs_p"], warm=warm)
+            rs, ps, params["obs_r"], params["obs_p"], warm=warm, skip=skip)
         return 1.0 - a, new_warm
 
     def constraints_x_vg(self, params, x):
@@ -331,12 +366,12 @@ class System:
             r, p, params["obs_r"], params["obs_p"])
         return 1.0 - a, self.pose_jacobian_rows(x, d_r, d_p)
 
-    def constraints_x_vg_traj(self, params, X, warm=None):
+    def constraints_x_vg_traj(self, params, X, warm=None, skip=None):
         """(h (T, ncx), dh/dx (T, ncx, nx), warm) for a state trajectory in
         one fused batched solve."""
         rs, ps = jax.vmap(self.robot_pose)(X)
         a, d_r, d_p, new_warm = self.scene.alphas_and_grads_traj(
-            rs, ps, params["obs_r"], params["obs_p"], warm=warm)
+            rs, ps, params["obs_r"], params["obs_p"], warm=warm, skip=skip)
         rows = jax.vmap(self.pose_jacobian_rows)(X, d_r, d_p)
         return 1.0 - a, rows, new_warm
 

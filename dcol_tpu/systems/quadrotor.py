@@ -81,7 +81,8 @@ def linear_interp_ref(dt, x0, xg, N):
 def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
                 backend: str = "xla",
                 pdip_jitter: float = 0.0, N: int = 100,
-                dt: float = 0.08, fd_jacobians: bool = False) -> Quadrotor:
+                dt: float = 0.08, fd_jacobians: bool = False,
+                merge_groups: bool = False) -> Quadrotor:
     data = np.load(_DATA)
     A_poly, b_poly = prim.n_sided_polygon(5, 0.6)
     obstacles = (
@@ -99,7 +100,8 @@ def make_system(pdip_tol: float = 1e-6, pdip_iters: int = 30,
     )
     scene = CollisionScene(
         prim.sphere(0.25), obstacles,
-        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter, backend))
+        ProximityOptions(pdip_tol, pdip_iters, pdip_jitter, backend,
+                         merge_groups=merge_groups))
     return Quadrotor(nx=12, nu=4, N=N, dt=dt, scene=scene,
                      fd_jacobians=fd_jacobians)
 
@@ -133,15 +135,20 @@ OBS_P = np.array([
 ])
 
 
-def make_problem(dtype=jnp.float64, N: int = 100, backend: str = "auto"):
-    """(system, params, X0, U0, config); reference :234-246, :255-262."""
+def make_problem(dtype=jnp.float64, N: int = 100, backend: str = "auto",
+                 merge_groups: bool = False):
+    """(system, params, X0, U0, config); reference :234-246, :255-262.
+    ``merge_groups``: latency mode — one merged padded kernel launch per
+    constraint batch instead of one per obstacle kind (see
+    ProximityOptions.merge_groups)."""
     if backend == "auto":
         import jax
         backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     if jnp.dtype(dtype) == jnp.float32:  # f32 PDIP conditioning
-        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6, backend=backend)
+        sys = make_system(N=N, pdip_tol=2e-5, pdip_jitter=1e-6, backend=backend,
+                          merge_groups=merge_groups)
     else:
-        sys = make_system(N=N, backend=backend)
+        sys = make_system(N=N, backend=backend, merge_groups=merge_groups)
     nx, nu = sys.nx, sys.nu
     x0 = np.array([-8, 0, 4, 0, 0, 0.0, 0, 0, 0, 0, 0, 0])
     xg = np.array([8, 0, 4, 0, 0, 0.0, 0, 0, 0, 0, 0, 0])

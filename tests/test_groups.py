@@ -83,6 +83,34 @@ def test_grouped_envelope_grads_match_fd():
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_merge_groups_matches_exact_groups():
+    """Latency mode (one merged padded kernel launch) must reproduce the
+    exact-grouped values and gradients: the padding is provably equivalent
+    (assembly.py module docstring)."""
+    import dataclasses
+
+    scene, obs_r, obs_p = _mixed_scene()
+    merged = dataclasses.replace(
+        scene, opts=dataclasses.replace(scene.opts, merge_groups=True))
+    assert len(merged.groups) == 1
+    assert merged.groups[0][1] == tuple(range(scene.n_obs))
+    rs = jnp.asarray(np.array([[0.0, 0.0, 0.0], [0.5, 0.2, -0.1]]))
+    ps = jnp.asarray(np.array([[0.0, 0.0, 0.0], [0.05, -0.1, 0.2]]))
+    a, _ = scene.alphas_traj(rs, ps, obs_r, obs_p)
+    am, warm_m = merged.alphas_traj(rs, ps, obs_r, obs_p)
+    np.testing.assert_allclose(am, a, rtol=1e-6, atol=1e-8)
+    # warm restart round-trips in merged mode too
+    am2, _ = merged.alphas_traj(rs, ps, obs_r, obs_p, warm=warm_m)
+    np.testing.assert_allclose(am2, a, rtol=1e-5, atol=1e-7)
+    # envelope gradients agree to the same level as FD (the gradient error
+    # scales with the duals' distance-to-optimum ~ sqrt(tol), and the two
+    # layouts stop at different iterates within that ball)
+    _, d_r, d_p, _ = scene.alphas_and_grads_traj(rs, ps, obs_r, obs_p)
+    _, d_rm, d_pm, _ = merged.alphas_and_grads_traj(rs, ps, obs_r, obs_p)
+    np.testing.assert_allclose(d_rm, d_r, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(d_pm, d_p, rtol=2e-3, atol=2e-4)
+
+
 def test_exact_layout_alpha_equals_padded():
     robot = prim.cone(1.5, np.deg2rad(30))
     obs = prim.cylinder(0.6, 2.0)

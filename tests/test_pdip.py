@@ -111,3 +111,46 @@ def test_f32_padded_solve():
         np.testing.assert_allclose(float(sol.x[3]), case["alpha"],
                                    rtol=2e-3, atol=2e-3,
                                    err_msg=f"{case['k1']} vs {case['k2']}")
+
+
+def test_skip_mask_zero_iterations():
+    """skip-flagged members enter the loop done: zero iterations, output =
+    the initial/warm iterate; unskipped members are unaffected bitwise."""
+    import jax.numpy as jnp
+
+    case = ref_cases()[0]
+    lay = ConeLayout(case["n_ort"], case["n_soc1"], case["n_soc2"])
+    c = np.tile(np.array(case["c"])[None], (4, 1))
+    G = np.tile(np.array(case["G"])[None], (4, 1, 1))
+    h = np.tile(np.array(case["h"])[None], (4, 1))
+    base = solve_socp(c, G, h, lay, tol=1e-9, max_iters=40)
+    warm = (base.x, base.s, base.z)
+
+    skip = jnp.asarray([False, True, False, True])
+    sol = solve_socp(c, G, h, lay, tol=1e-9, max_iters=40, warm=warm,
+                     skip=skip)
+    # skipped members: zero iterations, x untouched (= the warm x)
+    assert int(sol.iters[1]) == 0 and int(sol.iters[3]) == 0
+    np.testing.assert_array_equal(np.asarray(sol.x[1]), np.asarray(base.x[1]))
+    # unskipped members re-solve exactly as a skip-free warm call would
+    ref = solve_socp(c, G, h, lay, tol=1e-9, max_iters=40, warm=warm)
+    np.testing.assert_array_equal(np.asarray(sol.x[0]), np.asarray(ref.x[0]))
+    np.testing.assert_array_equal(np.asarray(sol.z[2]), np.asarray(ref.z[2]))
+
+    # all-skipped: the while_loop exits immediately
+    sol_all = solve_socp(c, G, h, lay, tol=1e-9, max_iters=40, warm=warm,
+                         skip=jnp.ones(4, bool))
+    assert int(np.max(np.asarray(sol_all.iters))) == 0
+
+    # pallas backend (interpret mode on CPU): same semantics
+    from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
+
+    solp = solve_socp_pallas(
+        jnp.asarray(c, jnp.float32), jnp.asarray(G, jnp.float32),
+        jnp.asarray(h, jnp.float32), lay, tol=1e-4, max_iters=40,
+        warm=tuple(jnp.asarray(w, jnp.float32) for w in warm),
+        skip=skip, interpret=True)
+    assert int(solp.iters[1]) == 0 and int(solp.iters[3]) == 0
+    np.testing.assert_allclose(np.asarray(solp.x[1]),
+                               np.asarray(base.x[1]).astype(np.float32),
+                               rtol=1e-6)

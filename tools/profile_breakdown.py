@@ -16,7 +16,8 @@ sum to full_iteration: inside the full jit XLA fuses across components, and
 the residual vs full_iteration reflects that fusion/overlap, not an
 unprofiled stage.
 
-Usage: python tools/profile_breakdown.py [batch] [iters_per_solve]
+Usage: python tools/profile_breakdown.py [--merge] [batch] [iters_per_solve]
+       (--merge: latency mode, one merged padded kernel per constraint batch)
 """
 
 import os
@@ -84,8 +85,11 @@ def main():
     from dcol_tpu.solver import altro
     from dcol_tpu.systems import quadrotor
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)
+    argv = [a for a in sys.argv[1:] if a != "--merge"]
+    merge = "--merge" in sys.argv[1:]
+    batch = int(argv[0]) if len(argv) > 0 else 64
+    sys_, params, X0, U0, cfg = quadrotor.make_problem(
+        dtype=jnp.float32, merge_groups=merge)
     params_b, X0_b, U0_b = perturb_scenarios(
         params, X0, U0, n=batch, seed=0, x0_sigma=0.02)
 
@@ -196,7 +200,7 @@ def main():
         return jax.vmap(one)(params_b, st)
     results["backward_pass_nosolve"] = timeit(bwd_nosolve, st, params_b)
 
-    iters_per_solve = (float(sys.argv[2]) if len(sys.argv) > 2
+    iters_per_solve = (float(argv[1]) if len(argv) > 1
                        else MEAN_ITERS_PER_SOLVE)
     print(f"\n== breakdown at batch={batch} (ms per call, components timed in"
           " isolation; they will not sum to full_iteration — see docstring) ==")
