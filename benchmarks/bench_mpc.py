@@ -10,9 +10,12 @@ Usage: python benchmarks/bench_mpc.py [--block B] [n_scenarios] [n_steps]
        [horizon_N] [max_iters_per_tick]
 
 ``--block B``: lax.map the closed loop over B-scenario blocks instead of one
-monolithic vmap — caps peak live memory at a block's worth (the 8192x12
-monolithic run crashed the TPU worker on suspected HBM pressure) and keeps
-kernels at the throughput-optimal width.
+monolithic vmap — bounds the SOLVER'S per-block working set (line-search
+candidate live ranges etc.) to a block's worth and keeps kernels at the
+throughput-optimal width.  Note the stacked OUTPUT (all n_scen closed-loop
+trajectories) is still materialized in full; blocking only helps when solver
+intermediates, not outputs, dominate HBM (see docs/SCALING.md §3b for the
+measured footprints of the 8192x12 case).
 
 Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay, so
 every timed region ends with a real device fetch (``jax.device_get``).
@@ -42,6 +45,9 @@ def main():
     block = None
     if "--block" in argv:
         i = argv.index("--block")
+        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+            sys.exit("usage: bench_mpc.py [--block B] [n_scenarios] [n_steps]"
+                     " [horizon_N] [max_iters_per_tick]")
         block = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     n_scen = int(argv[0]) if len(argv) > 0 else 8
@@ -88,7 +94,25 @@ def main():
         jnp.mean(out.iters.astype(jnp.float32)),
         jnp.mean(out.converged.astype(jnp.float32))]))
     wall = time.time() - t0  # clock stops at the fused metrics fetch
-    finite = bool(jax.device_get(jnp.all(jnp.isfinite(out.X_applied))))
+    # quality evidence (untimed): per-tick plan violation, collision margin
+    # at the applied states, and closed-loop goal error — anytime ticks only
+    # count if the plans are good (docs/SCALING.md §3b)
+    xg = params["Xref"][-1][0:3]
+    f32 = jnp.float32
+    quality = jax.device_get(jnp.stack([
+        jnp.all(jnp.isfinite(out.X_applied)).astype(f32),
+        jnp.mean(out.convio.astype(f32)),
+        jnp.max(out.convio).astype(f32),
+        jnp.mean((out.convio < 1e-4).astype(f32)),     # offline certificate
+        jnp.mean((out.convio < 1e-2).astype(f32)),
+        jnp.mean((out.h_applied <= 0.0).astype(f32)),  # collision-free frac
+        jnp.max(out.h_applied).astype(f32),
+        jnp.mean(jnp.linalg.norm(                      # final goal distance
+            out.X_applied[..., -1, 0:3] - xg, axis=-1)).astype(f32),
+        jnp.mean(out.kmax.astype(f32)),
+    ]))
+    (finite, mean_convio, max_convio, certified_frac, convio2_frac,
+     collision_free_frac, max_h_applied, mean_goal_err, mean_kmax) = quality
     ticks = n_scen * n_steps
     print(json.dumps({
         "scenarios": n_scen, "steps": n_steps, "horizon_N": horizon,
@@ -96,9 +120,17 @@ def main():
         "devices": n_dev, "sharded": sharded, "block": block,
         "wall_s": round(wall, 3),
         "mpc_ticks_per_s": round(ticks / wall, 1),
-        "finite": finite,
+        "finite": bool(finite),
         "mean_solve_iters": round(float(mean_iters), 2),
         "converged_tick_frac": round(float(conv_frac), 3),
+        "mean_plan_convio": round(float(mean_convio), 6),
+        "max_plan_convio": round(float(max_convio), 5),
+        "tick_frac_convio_lt_1e4": round(float(certified_frac), 3),
+        "tick_frac_convio_lt_1e2": round(float(convio2_frac), 3),
+        "collision_free_tick_frac": round(float(collision_free_frac), 4),
+        "max_h_applied": round(float(max_h_applied), 5),
+        "mean_final_goal_err_m": round(float(mean_goal_err), 4),
+        "mean_kmax": round(float(mean_kmax), 5),
     }))
 
 

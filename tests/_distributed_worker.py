@@ -66,6 +66,61 @@ J_local = np.concatenate(
      for s in sorted(st.J.addressable_shards,
                      key=lambda s: (s.index[0].start or 0))])
 
+# ---------------------------------------------------------------------------
+# Phase 2 (BASELINE config-#5 shape): scenario-sharded closed-loop MPC with a
+# cross-process checkpoint/restore mid-run.  Each process checkpoints only its
+# ADDRESSABLE shard of the MpcCarry (per-host shard files, the multi-host
+# checkpoint pattern), "restarts", reassembles the global carry from its own
+# shard via scatter_local, and resumes.  3 straight ticks must equal
+# 2 ticks -> checkpoint -> restore -> 1 tick.
+# ---------------------------------------------------------------------------
+from dcol_tpu.solver import mpc  # noqa: E402
+
+x0s_g = np.asarray(X0_g)[:, 0, :]  # (n_global, nx) per-scenario start states
+x0s = distributed.scatter_local(
+    mesh, np.ascontiguousarray(x0s_g[lo:hi]))
+U0_host = np.asarray(U0_g)[0]  # hoisted: np conversion is illegal mid-trace
+
+
+def run_steps(n, x0s):
+    return jax.jit(jax.vmap(
+        lambda x0_: mpc.mpc_run(sys_, params, cfg, x0_, U0_host, n)))(x0s)
+
+
+straight = run_steps(3, x0s)
+
+part1 = run_steps(2, x0s)
+# per-process checkpoint of the addressable shard of the carry
+ckpt_path = out_path + f".mpc_ckpt_p{pid}.npz"
+carry_local = {}
+for name, leaf in part1.final._asdict().items():
+    shards = sorted(leaf.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    carry_local[name] = np.concatenate(
+        [np.asarray(s.data) for s in shards], axis=0)
+np.savez(ckpt_path, **carry_local)
+
+# "restart": reload the shard, reassemble the GLOBAL carry, resume 1 tick
+loaded = np.load(ckpt_path)
+carry_g = mpc.MpcCarry(**{
+    name: distributed.scatter_local(mesh, loaded[name])
+    for name in mpc.MpcCarry._fields})
+resumed = jax.jit(jax.vmap(
+    lambda c: mpc.mpc_run(sys_, params, cfg, c.x, U0_host, 1,
+                          resume_from=c)))(carry_g)
+
+
+def local_rows(arr):
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+mpc_match = bool(np.allclose(
+    local_rows(straight.X_applied)[:, 3],      # state after tick 3
+    local_rows(resumed.X_applied)[:, 1],       # = 1 resumed tick after ckpt
+    rtol=1e-10, atol=1e-12))
+
 with open(out_path, "w") as f:
     json.dump({
         "process_id": pid,
@@ -76,5 +131,7 @@ with open(out_path, "w") as f:
         "rows": [lo, hi],
         "X_local": X_local.tolist(),
         "J_local": J_local.tolist(),
+        "mpc_resume_matches_straight": mpc_match,
+        "mpc_X3_local": local_rows(resumed.X_applied)[:, 1].tolist(),
     }, f)
 print("worker", pid, "done", flush=True)

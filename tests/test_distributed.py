@@ -72,3 +72,22 @@ def test_two_process_distributed_solve(tmp_path):
     np.testing.assert_allclose(X_global, np.asarray(st.X), rtol=1e-8,
                                atol=1e-10)
     np.testing.assert_allclose(J_global, np.asarray(st.J), rtol=1e-8)
+
+    # phase 2: sharded closed-loop MPC with a cross-process checkpoint —
+    # each worker verified 2 ticks -> per-shard checkpoint -> restore ->
+    # 1 tick equals 3 straight ticks (BASELINE config-#5 shape); both
+    # workers' resumed trajectories must also agree with an in-process run
+    for r in res:
+        assert r["mpc_resume_matches_straight"], r["process_id"]
+    import jax
+
+    from dcol_tpu.solver import mpc
+
+    X3_global = np.concatenate(
+        [np.asarray(res[0]["mpc_X3_local"]), np.asarray(res[1]["mpc_X3_local"])])
+    U0_host = np.asarray(U0_b)[0]
+    local3 = jax.jit(jax.vmap(
+        lambda x0_: mpc.mpc_run(sys_, params, cfg, x0_, U0_host,
+                                3)))(X0_b[:, 0, :])
+    np.testing.assert_allclose(
+        X3_global, np.asarray(local3.X_applied[:, 3]), rtol=1e-8, atol=1e-10)
