@@ -35,6 +35,8 @@ def main():
     block = None
     if "--block" in argv:
         i = argv.index("--block")
+        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+            sys.exit("usage: bench_scaling.py [--block B] [batch1 batch2 ...]")
         block = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     batches = [int(a) for a in argv] or [8, 16, 32, 64]
@@ -45,9 +47,15 @@ def main():
 
     results = []
     for b in batches:
-        if block is not None and b > block and b % block == 0:
+        # effective block: None when the monolithic vmap actually runs
+        # (batch <= block, non-divisible, or sharded — reshaping a sharded
+        # scenario axis into (nb, block) would split the sharded dim and
+        # force resharding, an untested interaction; see bench_mpc.py)
+        eff_block = (block if block is not None and b > block
+                     and b % block == 0 and mesh is None else None)
+        if eff_block is not None:
             run = lambda p, x, u: solve_batch_blocked(
-                sys_, p, cfg, x, u, block=block)
+                sys_, p, cfg, x, u, block=eff_block)
         else:
             run = lambda p, x, u: solve_batch(sys_, p, cfg, x, u)
         def make(seed):
@@ -70,7 +78,7 @@ def main():
         c0, _ = fetch(run(pb, xb, ub))  # compile + warm
         print(f"batch {b}: compile+warm {time.time()-t0:.1f}s, "
               f"converged {int(c0)}/{b}"
-              + (f" (block {block})" if block and b > block else ""),
+              + (f" (block {eff_block})" if eff_block else " (monolithic)"),
               flush=True)
 
         convs, iters_mean, walls = [], [], []
@@ -83,7 +91,7 @@ def main():
             iters_mean.append(float(mi))
         walls.sort()
         wall = walls[len(walls) // 2]  # median, robust to relay hiccups
-        row = {"batch": b, "block": block, "wall_s": round(wall, 3),
+        row = {"batch": b, "block": eff_block, "wall_s": round(wall, 3),
                "walls_all_s": [round(w, 3) for w in walls],
                "solves_per_s": round(b / wall, 2),
                "converged": convs[-1],

@@ -64,10 +64,28 @@ def scatter_local(mesh: Mesh, local_batch, axis_name: str = "scenario"):
 def solve_scattered(sys, mesh: Mesh, params_b, cfg, X0_b, U0_b,
                     axis_name: str = "scenario"):
     """Sharded batched solve over a global mesh: inputs are global arrays
-    (see :func:`scatter_local`); XLA SPMD partitions the vmapped solve, and
-    every process executes its addressable shard."""
+    (see :func:`scatter_local`); XLA SPMD partitions the vmapped solve from
+    the INPUT shardings, and every process executes its addressable shard.
+
+    ``mesh``/``axis_name`` are validated against the inputs (the solve
+    itself needs nothing beyond the shardings already attached to them) —
+    a mismatch means the caller scattered over a different mesh than it
+    thinks it is solving on."""
     from dcol_tpu.parallel.batch import solve_batch
 
+    sh = getattr(X0_b, "sharding", None)
+    if not isinstance(sh, NamedSharding):
+        raise ValueError(
+            "solve_scattered expects mesh-sharded inputs (scatter_local); "
+            f"X0_b has sharding {sh!r}")
+    if sh.mesh.devices.tolist() != mesh.devices.tolist():
+        raise ValueError(
+            f"inputs are sharded over a different mesh {sh.mesh} than the "
+            f"one passed in {mesh}")
+    if sh.spec and sh.spec[0] != axis_name:
+        raise ValueError(
+            f"inputs are sharded over axis {sh.spec[0]!r}, expected "
+            f"{axis_name!r}")
     return solve_batch(sys, params_b, cfg, X0_b, U0_b)
 
 
