@@ -87,21 +87,27 @@ def main():
         f"(all: {[round(w, 2) for w in walls]}) -> "
         f"{solves_per_s:.2f} solves/s")
 
-    # --- p50 single-solve latency (batch=1, median of 5) --------------------
+    # --- p50 single-solve latency (median of 5) ----------------------------
+    # solve_single replicates the problem to batch 8: measured ~2x faster
+    # end-to-end than a true batch-1 solve (XLA picks degenerate scan
+    # layouts for size-1 batches; see solve_single docstring).
+    from dcol_tpu.parallel.batch import solve_single
+
     p1, x1, u1 = perturb_scenarios(params, X0, U0, n=1, seed=9, x0_sigma=0.02)
-    st1 = solve_batch(sys_, p1, cfg, x1, u1)
-    jax.device_get(st1.converged)  # compile + sync
+    one = lambda p, x, u: solve_single(
+        sys_, jax.tree_util.tree_map(lambda a: a[0], p), cfg, x[0], u[0])
+    jax.device_get(one(p1, x1, u1).converged)  # compile + sync
     lats = []
     for r in range(5):
         p1, x1, u1 = perturb_scenarios(
             params, X0, U0, n=1, seed=10 + r, x0_sigma=0.02)
         t0 = time.time()
-        st1 = solve_batch(sys_, p1, cfg, x1, u1)
+        st1 = one(p1, x1, u1)
         jax.device_get(st1.converged)
         lats.append(time.time() - t0)
     p50 = statistics.median(lats)
     log(f"single-solve latency: p50 {p50*1e3:.0f} ms "
-        f"(all: {[round(l*1e3) for l in lats]} ms)")
+        f"(all: {[round(l*1e3) for l in lats]} ms; replicated-batch-8 mode)")
 
     # --- PDIP iters/s: the hot kernels alone at the solver's working batch --
     # (batch scenarios) x (N knots) x (11 obstacles) pair problems grouped by

@@ -44,6 +44,28 @@ def solve_batch(sys, params_b, cfg: altro.AltroConfig, X0_b, U0_b):
         params_b, X0_b, U0_b)
 
 
+@partial(jax.jit, static_argnames=("sys", "cfg", "replicas"))
+def solve_single(sys, params, cfg: altro.AltroConfig, X0, U0,
+                 *, replicas: int = 8):
+    """Latency-optimal SINGLE solve: replicate the problem ``replicas``
+    times, solve the batch, return member 0.
+
+    Counter-intuitive but measured (quadrotor N=100, one v5e chip): a true
+    batch-1 solve runs ~2x SLOWER end-to-end than the same solve replicated
+    to batch 8 (p50 ~0.41 s vs ~0.21 s).  With a size-1 batch XLA picks
+    degenerate layouts for the time-sequential scans — the line-search
+    rollout alone costs 3.8 ms/iteration at batch 1 vs ~0.1 ms at batch 8
+    (tools/probe_latency.py, rollout batch sweep) — while at batch >= 8 every
+    per-step op is a full (8, 128) register tile anyway, so the replicas are
+    free.  Identical replicas stay in lock-step: the batch converges in
+    exactly the single problem's iteration count."""
+    tile = lambda a: jnp.tile(a[None], (replicas,) + (1,) * a.ndim)
+    params_b = jax.tree_util.tree_map(tile, params)
+    st = solve_batch(sys, params_b, cfg, tile(jnp.asarray(X0)),
+                     tile(jnp.asarray(U0)))
+    return jax.tree_util.tree_map(lambda a: a[0], st)
+
+
 @partial(jax.jit, static_argnames=("sys", "cfg", "block"))
 def solve_batch_blocked(sys, params_b, cfg: altro.AltroConfig, X0_b, U0_b,
                         *, block: int = 128):

@@ -89,6 +89,13 @@ class AltroConfig:
     # ~2x cheaper): C=1 64.3, C=2 67.3, C=4 68.6, C=8 65.4, with C=4 > C=2
     # reproducible across alternating same-process reps (tools/sweep_ls.py).
     ls_parallel: int = 4
+    # Unroll factor for the time-sequential scans (rollouts + Riccati).  The
+    # per-step tensors are tiny (nx <= 12), so these scans are issue-bound,
+    # not FLOP-bound; at batch 1 the line-search rollout alone is ~5 ms of a
+    # ~7.6 ms iteration (tools/profile_breakdown.py --merge 1).  Larger
+    # unrolls amortise loop overhead at the cost of compile time — the
+    # latency-mode config raises it; 8 is the throughput default.
+    scan_unroll: int = 8
 
 
 class Metrics(NamedTuple):
@@ -183,7 +190,7 @@ def eval_constraints(sys, params, X, U, warm=None):
 # ---------------------------------------------------------------------------
 
 def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
-                  grads_from_accepted=False, skip=None):
+                  grads_from_accepted=False, skip=None, unroll: int = 8):
     """``skip``: scalar bool — this member's output is discarded by the
     caller (converged/failed member of a lock-step batch); its polish PDIP
     solve runs zero iterations."""
@@ -253,7 +260,7 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
     inputs = (A, B, l_x, l_u, l_xx, l_uu)
     (Vx0, Vxx0, delta_J), (K, k) = jax.lax.scan(
         step, (Vx_N, Vxx_N, jnp.zeros((), dt)), inputs, reverse=True,
-        unroll=8)
+        unroll=unroll)
     kmax = jnp.max(jnp.linalg.norm(k, axis=-1))  # ALTRO.py:34-48
     return K, k, delta_J, kmax
 
@@ -262,7 +269,7 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
 # Forward pass (backtracking line search), ALTRO.py:183-239
 # ---------------------------------------------------------------------------
 
-def rollout(sys, params, X, U, K, k, alpha):
+def rollout(sys, params, X, U, K, k, alpha, unroll: int = 8):
     ks = jnp.arange(sys.N - 1)
 
     def step(x, inp):
@@ -271,17 +278,19 @@ def rollout(sys, params, X, U, K, k, alpha):
         x_next = sys.discrete_dynamics(params, x, u, t)
         return x_next, (x, u)
 
-    xN, (Xs, Un) = jax.lax.scan(step, X[0], (X[:-1], U, K, k, ks), unroll=8)
+    xN, (Xs, Un) = jax.lax.scan(step, X[0], (X[:-1], U, K, k, ks),
+                                unroll=unroll)
     Xn = jnp.concatenate([Xs, xN[None]], axis=0)
     return Xn, Un
 
 
-def initial_rollout(sys, params, x0, U):
+def initial_rollout(sys, params, x0, U, unroll: int = 8):
     def step(x, inp):
         u, t = inp
         return sys.discrete_dynamics(params, x, u, t), x
 
-    xN, Xs = jax.lax.scan(step, x0, (U, jnp.arange(sys.N - 1)), unroll=8)
+    xN, Xs = jax.lax.scan(step, x0, (U, jnp.arange(sys.N - 1)),
+                          unroll=unroll)
     return jnp.concatenate([Xs, xN[None]], axis=0)
 
 
@@ -322,7 +331,8 @@ def forward_pass(sys, params, cfg, X, U, K, k, mu, mux, lambd, rho, hx, hu,
         Cc = a_c.shape[0]
         N = sys.N
         Xn, Un = jax.vmap(
-            lambda a: rollout(sys, params, X, U, K, k, a))(a_c)
+            lambda a: rollout(sys, params, X, U, K, k, a,
+                              unroll=cfg.scan_unroll))(a_c)
         Xf = Xn.reshape(Cc * N, sys.nx)
         w_t = jax.tree_util.tree_map(
             lambda a: jnp.tile(a, (Cc,) + (1,) * (a.ndim - 1)), w)
@@ -412,7 +422,8 @@ def make_initial_state(sys, params, cfg, X0, U0, duals=None,
     start (ALTRO.py:396-403)."""
     dt = jnp.result_type(U0)
     U = jnp.asarray(U0, dt)
-    X = initial_rollout(sys, params, jnp.asarray(X0[0], dt), U)
+    X = initial_rollout(sys, params, jnp.asarray(X0[0], dt), U,
+                        unroll=cfg.scan_unroll)
     hx, hu, warm = eval_constraints(sys, params, X, U)
     warm = jax.tree_util.tree_map(lambda a: a.astype(dt), warm)
     if duals is None:
@@ -442,7 +453,7 @@ def altro_iteration(sys, params, cfg, st: AltroState,
     K, k, delta_J, kmax = backward_pass(
         sys, params, st.X, st.U, st.mu, st.mux, st.lambd, st.rho, st.reg,
         warm=st.warm, grads_from_accepted=cfg.grads_from_accepted,
-        skip=None if active is None else ~active)
+        skip=None if active is None else ~active, unroll=cfg.scan_unroll)
     X, U, hx, hu, J, alpha, warm = forward_pass(
         sys, params, cfg, st.X, st.U, K, k, st.mu, st.mux, st.lambd, st.rho,
         st.hx, st.hu, st.warm, active=active)

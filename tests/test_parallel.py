@@ -170,3 +170,18 @@ def test_mpc_receding_horizon_tracks_path():
     err = np.linalg.norm(np.asarray(res.X_applied)[1:, :2]
                          - np.asarray(path)[1:n_steps + 1, :2], axis=1)
     assert float(err.mean()) < 0.5, err
+
+
+def test_solve_single_matches_batch_member():
+    """solve_single (replicated-batch latency mode) returns exactly the
+    single problem's solution: identical replicas run in lock-step, so every
+    member — including member 0 — is the plain solve."""
+    from dcol_tpu.parallel.batch import solve_single
+
+    sys_, params, X0, U0, cfg = _small_problem()
+    st_direct = altro.solve(sys_, params, cfg, X0, U0)
+    st_single = solve_single(sys_, params, cfg, X0, U0, replicas=4)
+    assert bool(st_single.converged) == bool(st_direct.converged)
+    assert int(st_single.iter) == int(st_direct.iter)
+    np.testing.assert_allclose(np.asarray(st_single.X),
+                               np.asarray(st_direct.X), rtol=1e-9, atol=1e-11)
