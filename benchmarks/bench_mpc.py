@@ -6,8 +6,8 @@ tests — see tests/conftest.py) the scenario batch is sharded over the
 'scenario' axis, so the same script records both the one-chip TPU number and
 the 8192-scenario sharded dryrun artifact (BASELINE.json config #5 analogue).
 
-Usage: python benchmarks/bench_mpc.py [--block B] [n_scenarios] [n_steps]
-       [horizon_N] [max_iters_per_tick]
+Usage: python benchmarks/bench_mpc.py [--block B] [--segment S]
+       [n_scenarios] [n_steps] [horizon_N] [max_iters_per_tick]
 
 ``--block B``: lax.map the closed loop over B-scenario blocks instead of one
 monolithic vmap — bounds the SOLVER'S per-block working set (line-search
@@ -16,6 +16,18 @@ throughput-optimal width.  Note the stacked OUTPUT (all n_scen closed-loop
 trajectories) is still materialized in full; blocking only helps when solver
 intermediates, not outputs, dominate HBM (see docs/SCALING.md §3b for the
 measured footprints of the 8192x12 case).
+
+``--segment S``: run the closed loop S steps per DISPATCH, carrying
+``MpcResult.final`` (resume_from) across dispatches — zero recompute, same
+trajectory.  Bounds per-dispatch device runtime and gives the closed loop
+restartable boundaries (docs/SCALING.md §3b: heavy multi-minute MPC
+dispatches can crash this environment's TPU worker; shown NOT to be memory,
+iteration budget, or any single dispatch's duration).
+
+``--ckpt DIR``: with --segment, snapshot each segment's MpcCarry to
+DIR/seg_<k>.npz and, on start, RESUME from the latest snapshot found there —
+a crashed worker (or killed process) loses at most one segment of work.
+This is the elastic-recovery path for long closed loops (SURVEY.md §5).
 
 Timing note: ``block_until_ready()`` is a NO-OP over the axon TPU relay, so
 every timed region ends with a real device fetch (``jax.device_get``).
@@ -42,14 +54,28 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     argv = sys.argv[1:]
-    block = None
-    if "--block" in argv:
-        i = argv.index("--block")
+    usage = ("usage: bench_mpc.py [--block B] [--segment S] [n_scenarios]"
+             " [n_steps] [horizon_N] [max_iters_per_tick]")
+
+    def flag(name):
+        if name not in argv:
+            return None
+        i = argv.index(name)
         if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
-            sys.exit("usage: bench_mpc.py [--block B] [n_scenarios] [n_steps]"
-                     " [horizon_N] [max_iters_per_tick]")
-        block = int(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
+            sys.exit(usage)
+        v = int(argv[i + 1])
+        del argv[i:i + 2]
+        return v
+
+    block = flag("--block")
+    segment = flag("--segment")
+    ckpt_dir = None
+    if "--ckpt" in argv:
+        i = argv.index("--ckpt")
+        if i + 1 >= len(argv):
+            sys.exit(usage)
+        ckpt_dir = argv[i + 1]
+        del argv[i:i + 2]
     n_scen = int(argv[0]) if len(argv) > 0 else 8
     n_steps = int(argv[1]) if len(argv) > 1 else 10
     horizon = int(argv[2]) if len(argv) > 2 else 40
@@ -72,8 +98,75 @@ def main():
         x0s = jax.device_put(x0s, NamedSharding(mesh, P("scenario", None)))
 
     one = lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, n_steps)
-    if block is not None and n_scen > block and n_scen % block == 0 \
+    if segment is not None and segment < n_steps and n_steps % segment == 0:
+        # segmented dispatches: S steps per XLA execution, resume state
+        # carried across dispatches (bounds per-dispatch device runtime)
+        block = None
+        n_seg = n_steps // segment
+        run_first = jax.jit(jax.vmap(
+            lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, segment)))
+        run_next = jax.jit(jax.vmap(
+            lambda c: mpc.mpc_run(sys_, params, cfg, c.x, U0, segment,
+                                  resume_from=c)))
+
+        def seg_path(k):
+            import os
+            return os.path.join(ckpt_dir, f"seg_{k}.npz")
+
+        def save_carry(k, carry):
+            import os
+
+            import numpy as np
+            os.makedirs(ckpt_dir, exist_ok=True)
+            np.savez(seg_path(k),
+                     **{f: np.asarray(getattr(carry, f))
+                        for f in mpc.MpcCarry._fields})
+
+        def load_latest():
+            """(segment index to resume AFTER, carry) from the newest
+            snapshot, or (0, None)."""
+            import os
+
+            import numpy as np
+            if ckpt_dir is None or not os.path.isdir(ckpt_dir):
+                return 0, None
+            done = sorted(int(f[4:-4]) for f in os.listdir(ckpt_dir)
+                          if f.startswith("seg_") and f.endswith(".npz"))
+            if not done:
+                return 0, None
+            k = done[-1]
+            d = np.load(seg_path(k))
+            return k + 1, mpc.MpcCarry(
+                **{f: jnp.asarray(d[f]) for f in mpc.MpcCarry._fields})
+
+        def run(x0s):
+            k0, carry = (0, None) if ckpt_dir is None else load_latest()
+            if carry is not None:
+                print(f"resuming after segment {k0 - 1} from {ckpt_dir}",
+                      file=sys.stderr)
+            if k0 >= n_seg:
+                sys.exit(f"all {n_seg} segments already checkpointed in "
+                         f"{ckpt_dir}; clear it for a fresh run")
+            outs = []
+            for k in range(k0, n_seg):
+                out = run_first(x0s) if carry is None else run_next(carry)
+                carry = out.final
+                if ckpt_dir is not None:
+                    jax.block_until_ready(carry.x)
+                    save_carry(k, carry)
+                outs.append(out)
+            x_app = jnp.concatenate(
+                [outs[0].X_applied] + [o.X_applied[:, 1:] for o in outs[1:]],
+                axis=1)
+            cat = lambda get: jnp.concatenate([get(o) for o in outs], axis=1)
+            return mpc.MpcResult(
+                x_app, cat(lambda o: o.U_applied), cat(lambda o: o.iters),
+                cat(lambda o: o.converged), cat(lambda o: o.cost),
+                cat(lambda o: o.convio), cat(lambda o: o.h_applied),
+                cat(lambda o: o.kmax), outs[-1].final)
+    elif block is not None and n_scen > block and n_scen % block == 0 \
             and not sharded:
+        segment = None
         nb = n_scen // block
 
         def run_blocked(x0s):
@@ -84,12 +177,18 @@ def main():
 
         run = jax.jit(run_blocked)
     else:
-        block = None
+        block = segment = None
         run = jax.jit(jax.vmap(one))
-    out = run(x0s)
-    jax.device_get(out.iters[0])  # real device sync (compile + first run)
-    t0 = time.time()
-    out = run(x0s)
+    if ckpt_dir is not None:
+        # crash-recovery mode: ONE (possibly resumed) run; timing covers it
+        t0 = time.time()
+        out = run(x0s)
+        jax.device_get(out.iters[0])
+    else:
+        out = run(x0s)
+        jax.device_get(out.iters[0])  # real device sync (compile + 1st run)
+        t0 = time.time()
+        out = run(x0s)
     mean_iters, conv_frac = jax.device_get(jnp.stack([
         jnp.mean(out.iters.astype(jnp.float32)),
         jnp.mean(out.converged.astype(jnp.float32))]))
@@ -109,15 +208,25 @@ def main():
         jnp.max(out.h_applied).astype(f32),
         jnp.mean(jnp.linalg.norm(                      # final goal distance
             out.X_applied[..., -1, 0:3] - xg, axis=-1)).astype(f32),
-        jnp.mean(out.kmax.astype(f32)),
+        # nanmean: a member frozen by a late f32 breakdown reports kmax=NaN
+        # without poisoning the aggregate (its converged flag is the signal)
+        jnp.nanmean(out.kmax.astype(f32)),
     ]))
     (finite, mean_convio, max_convio, certified_frac, convio2_frac,
      collision_free_frac, max_h_applied, mean_goal_err, mean_kmax) = quality
     ticks = n_scen * n_steps
+    try:  # measured device HBM (peak includes the solve's live ranges)
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak_mb = round(ms.get("peak_bytes_in_use", 0) / 2**20, 1)
+    except Exception:
+        peak_mb = None
     print(json.dumps({
         "scenarios": n_scen, "steps": n_steps, "horizon_N": horizon,
         "max_iters_per_tick": tick_iters,
         "devices": n_dev, "sharded": sharded, "block": block,
+        "segment": segment, "ckpt": ckpt_dir is not None,
+        # NOTE: on a --ckpt RESUMED run, wall/ticks/quality cover only the
+        # segments executed in this process (at most one segment is lost)
         "wall_s": round(wall, 3),
         "mpc_ticks_per_s": round(ticks / wall, 1),
         "finite": bool(finite),
@@ -131,6 +240,7 @@ def main():
         "max_h_applied": round(float(max_h_applied), 5),
         "mean_final_goal_err_m": round(float(mean_goal_err), 4),
         "mean_kmax": round(float(mean_kmax), 5),
+        "device_peak_hbm_mb": peak_mb,
     }))
 
 
