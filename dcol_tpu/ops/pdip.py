@@ -85,10 +85,12 @@ def warm_initialize(lay: ConeLayout, x, s, z, margin: float = 1e-3):
     return x, s_w, z_w
 
 
-@partial(jax.jit, static_argnames=("lay", "max_iters", "jitter"))
+@partial(jax.jit, static_argnames=("lay", "max_iters", "jitter",
+                                   "warm_margin"))
 def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                max_iters: int = 30, jitter: float = 0.0,
-               warm=None, skip=None) -> SocpSolution:
+               warm=None, skip=None,
+               warm_margin: float = 1e-3) -> SocpSolution:
     """Solve a batch of conic LPs; leading dims of c/G/h are batch dims.
     ``warm``: optional (x, s, z) from a previous nearby solve.
     ``skip``: optional bool (broadcastable to the batch shape) marking
@@ -98,7 +100,7 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     members free instead of re-solving work nobody reads."""
     dt = G.dtype
     if warm is not None:
-        x, s, z = warm_initialize(lay, *warm)
+        x, s, z = warm_initialize(lay, *warm, margin=warm_margin)
     else:
         x, s, z = initialize(lay, c, G, h, jitter)
     e = gen_e(lay, dt)

@@ -277,7 +277,7 @@ def _chol_solve(Lr, b, nv):
 
 def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
                  jitter: float, use_warm: bool = False,
-                 use_skip: bool = False):
+                 use_skip: bool = False, warm_margin: float = 1e-3):
     blocks = _layout_blocks(lay)
     kinds = tuple(b[0] for b in blocks)
     degree = lay.degree
@@ -324,7 +324,7 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
         neg = lambda u: tuple(-ui for ui in u)
         if use_warm:
             # previous optimum shifted strictly into the cone interior
-            margin = 1e-3
+            margin = warm_margin
             x = [xw_ref[v:v + 1, :] for v in range(nv)]
             sw = split_rows(sw_ref)
             zw = split_rows(zw_ref)
@@ -435,11 +435,12 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
 
 
 @partial(jax.jit, static_argnames=("lay", "tol", "max_iters", "jitter",
-                                   "block", "interpret"))
+                                   "block", "interpret", "warm_margin"))
 def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                       max_iters: int = 30, jitter: float = 0.0,
                       block: int = 1024, interpret: bool = False,
-                      warm=None, skip=None) -> SocpSolution:
+                      warm=None, skip=None,
+                      warm_margin: float = 1e-3) -> SocpSolution:
     """Drop-in batched solver: c (B, NV), G (B, NR, NV), h (B, NR).
     ``warm``: optional (x, s, z) triple from a previous nearby solve.
     ``skip``: optional (B,) bool — members whose result the caller discards;
@@ -465,7 +466,8 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     inputs = [Gl, hl, cl]
     kernel = _make_kernel(lay, nv, tol, max_iters, jitter,
                           use_warm=warm is not None,
-                          use_skip=skip is not None)
+                          use_skip=skip is not None,
+                          warm_margin=warm_margin)
     grid = (Bp // block,)
 
     def bspec(*dims):

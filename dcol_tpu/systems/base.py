@@ -42,6 +42,12 @@ class ProximityOptions:
     # 1024 measured 27% faster than 256 on the quadrotor constraint batch
     # (70400 pair problems: 12.8 -> 9.3 ms; benchmarks/probe_iter_cost.py)
     block: int = 1024
+    # Interior margin for warm starts: a previous optimum's (s, z) sit at
+    # the cone boundary (s.z ~ tol), where NT scaling is ill-conditioned in
+    # f32, so warm_initialize shifts them inward by this much before
+    # re-solving.  Larger = more robust, but every warm solve then pays
+    # iterations re-converging from the shifted point.
+    warm_margin: float = 1e-3
     # Latency mode: merge ALL obstacle groups into ONE padded-layout batch
     # (the scene-wide (nv, n_ort, S_PAD, S_PAD) shape, provably equivalent —
     # assembly.py module docstring) so every constraint batch is a single
@@ -172,10 +178,12 @@ class CollisionScene:
             return solve_socp_pallas(
                 c, G, h, lay, tol=self.opts.tol,
                 max_iters=self.opts.max_iters, jitter=self.opts.jitter,
-                block=self.opts.block, warm=warm, skip=skip)
+                block=self.opts.block, warm=warm, skip=skip,
+                warm_margin=self.opts.warm_margin)
         return solve_socp(c, G, h, lay, tol=self.opts.tol,
                           max_iters=self.opts.max_iters,
-                          jitter=self.opts.jitter, warm=warm, skip=skip)
+                          jitter=self.opts.jitter, warm=warm, skip=skip,
+                          warm_margin=self.opts.warm_margin)
 
     def _solve_groups_traj(self, rs, ps, obs_r, obs_p, warm=None, skip=None):
         """One batched solve PER GROUP over a trajectory of poses (T, 3).

@@ -1,0 +1,69 @@
+"""Quick batch-64 throughput sweep over solver knobs on the real chip.
+
+Each config is a fresh jit (one compile each); walls are median-of-3 timed
+reps after an untimed warm rep, one fused device fetch per rep.
+
+Usage: python tools/sweep_perf.py [C:margin ...]
+       e.g. python tools/sweep_perf.py 4:1e-3 4:1e-4 8:1e-4
+"""
+
+import dataclasses
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(C, margin, batch=64, reps=3):
+    from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
+    from dcol_tpu.systems import quadrotor
+
+    sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)
+    sys_ = dataclasses.replace(
+        sys_, scene=dataclasses.replace(
+            sys_.scene, opts=dataclasses.replace(
+                sys_.scene.opts, warm_margin=margin)))
+    cfg = dataclasses.replace(cfg, ls_parallel=C)
+
+    def fetch(st):
+        return jax.device_get(jnp.stack(
+            [jnp.sum(st.converged).astype(jnp.float32),
+             jnp.mean(st.iter.astype(jnp.float32))]))
+
+    inputs = [perturb_scenarios(params, X0, U0, n=batch, seed=r + 1,
+                                x0_sigma=0.02) for r in range(reps + 1)]
+    t0 = time.time()
+    pb, xb, ub = inputs[0]
+    c0, mi0 = fetch(solve_batch(sys_, pb, cfg, xb, ub))
+    print(f"C={C} margin={margin}: compile+warm {time.time()-t0:.0f}s, "
+          f"conv {int(c0)}/{batch}, mean iters {mi0:.1f}",
+          file=sys.stderr, flush=True)
+    walls = []
+    for r in range(reps):
+        pb, xb, ub = inputs[r + 1]
+        t0 = time.time()
+        c, mi = fetch(solve_batch(sys_, pb, cfg, xb, ub))
+        walls.append(time.time() - t0)
+    wall = statistics.median(walls)
+    print(f"C={C} margin={margin}: {batch/wall:.1f} solves/s "
+          f"(walls {[round(w, 2) for w in walls]}, conv {int(c)}, "
+          f"iters {mi:.1f})", flush=True)
+    return batch / wall
+
+
+def main():
+    specs = sys.argv[1:] or ["4:1e-3", "4:1e-4", "8:1e-4"]
+    out = {}
+    for s in specs:
+        C, m = s.split(":")
+        out[s] = measure(int(C), float(m))
+    print({k: round(v, 1) for k, v in out.items()}, flush=True)
+
+
+if __name__ == "__main__":
+    main()
