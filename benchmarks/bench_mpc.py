@@ -61,7 +61,8 @@ def main():
         if name not in argv:
             return None
         i = argv.index(name)
-        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+        if i + 1 >= len(argv) or not argv[i + 1].isdigit() \
+                or int(argv[i + 1]) <= 0:
             sys.exit(usage)
         v = int(argv[i + 1])
         del argv[i:i + 2]
@@ -69,6 +70,10 @@ def main():
 
     block = flag("--block")
     segment = flag("--segment")
+    if block is not None and segment is not None:
+        sys.exit("--block and --segment are mutually exclusive (the "
+                 "segmented closed loop dispatches one full-width vmap per "
+                 "segment); pick one")
     ckpt_dir = None
     if "--ckpt" in argv:
         i = argv.index("--ckpt")
@@ -98,10 +103,10 @@ def main():
         x0s = jax.device_put(x0s, NamedSharding(mesh, P("scenario", None)))
 
     one = lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, n_steps)
+    steps_executed = n_steps  # segmented resume overwrites (see run below)
     if segment is not None and segment < n_steps and n_steps % segment == 0:
         # segmented dispatches: S steps per XLA execution, resume state
         # carried across dispatches (bounds per-dispatch device runtime)
-        block = None
         n_seg = n_steps // segment
         run_first = jax.jit(jax.vmap(
             lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, segment)))
@@ -140,6 +145,7 @@ def main():
                 **{f: jnp.asarray(d[f]) for f in mpc.MpcCarry._fields})
 
         def run(x0s):
+            nonlocal steps_executed
             k0, carry = (0, None) if ckpt_dir is None else load_latest()
             if carry is not None:
                 print(f"resuming after segment {k0 - 1} from {ckpt_dir}",
@@ -147,6 +153,7 @@ def main():
             if k0 >= n_seg:
                 sys.exit(f"all {n_seg} segments already checkpointed in "
                          f"{ckpt_dir}; clear it for a fresh run")
+            steps_executed = (n_seg - k0) * segment
             outs = []
             for k in range(k0, n_seg):
                 out = run_first(x0s) if carry is None else run_next(carry)
@@ -214,7 +221,9 @@ def main():
     ]))
     (finite, mean_convio, max_convio, certified_frac, convio2_frac,
      collision_free_frac, max_h_applied, mean_goal_err, mean_kmax) = quality
-    ticks = n_scen * n_steps
+    # on a --ckpt resumed run only (n_seg - k0) segments actually execute;
+    # wall, ticks/s and the quality aggregates all cover exactly those
+    ticks = n_scen * steps_executed
     try:  # measured device HBM (peak includes the solve's live ranges)
         ms = jax.local_devices()[0].memory_stats() or {}
         peak_mb = round(ms.get("peak_bytes_in_use", 0) / 2**20, 1)
@@ -225,8 +234,7 @@ def main():
         "max_iters_per_tick": tick_iters,
         "devices": n_dev, "sharded": sharded, "block": block,
         "segment": segment, "ckpt": ckpt_dir is not None,
-        # NOTE: on a --ckpt RESUMED run, wall/ticks/quality cover only the
-        # segments executed in this process (at most one segment is lost)
+        "steps_executed": steps_executed,
         "wall_s": round(wall, 3),
         "mpc_ticks_per_s": round(ticks / wall, 1),
         "finite": bool(finite),

@@ -99,6 +99,11 @@ def solve_socp(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     batched callers (the ALTRO line search) use this to make already-decided
     members free instead of re-solving work nobody reads."""
     dt = G.dtype
+    if skip is not None and warm is None:
+        raise ValueError(
+            "skip= requires warm=: a skipped member's output is its entry "
+            "iterate, which is only meaningful as a previous converged "
+            "solution, not the cold least-squares initializer")
     if warm is not None:
         x, s, z = warm_initialize(lay, *warm, margin=warm_margin)
     else:

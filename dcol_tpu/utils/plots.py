@@ -84,6 +84,31 @@ def plot_constraint_violation(system: str, convio: np.ndarray, kmax: np.ndarray)
     plt.close()
 
 
+def plot_per_constraint_violations(system: str, hx_hist, hu_hist):
+    """Per-constraint violation curves over iterations — parity with the
+    reference's ``plot_constraint_violations`` (``utils/plots.py:288-322``;
+    imported by its ALTRO but never called — SURVEY.md §7.5).  ``hx_hist`` /
+    ``hu_hist`` are (iters, ncx) / (iters, ncu) arrays; each point is that
+    constraint's maximum value over the horizon at that iteration (h <= 0
+    satisfied).  Rendered as ``state_constraints.png`` /
+    ``control_constraints.png`` under ``result_images/<system>/``."""
+    plt = _mpl()
+    d = _outdir(system)
+    for stem, hist, kind in (("state_constraints", hx_hist, "State"),
+                             ("control_constraints", hu_hist, "Control")):
+        hist = np.asarray(hist)
+        plt.figure(figsize=(12, 6))
+        for i in range(hist.shape[1]):
+            plt.plot(hist[:, i], label=f"{kind} Constraint {i + 1}")
+        plt.xlabel("Iteration")
+        plt.ylabel("Constraint Violation")
+        plt.title(f"{kind} Constraint Violations Over Iterations")
+        plt.legend(ncol=2, fontsize=8)
+        plt.grid()
+        plt.savefig(os.path.join(d, f"{stem}.png"), dpi=100)
+        plt.close()
+
+
 def plot_trajectories(system: str, X: np.ndarray, U: np.ndarray, dt: float):
     plt = _mpl()
     d = _outdir(system)

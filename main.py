@@ -69,15 +69,19 @@ def main():
     print(f"Starting ALTRO optimization ({args.system})...")
     t0 = time.time()
     history = [] if not args.no_viz else None
+    con_hist = [] if not args.no_viz else None
     if args.verbose or history is not None:
         # python-loop solve: live table and/or host-side X/U history capture
         # for the per-iteration trajectory plots (reference ALTRO.py:424-425)
+        # plus per-constraint violation maxima for the per-curve plots
         import numpy as np
 
         cb = None
         if history is not None:
-            cb = lambda itr, st: history.append(
-                (np.asarray(st.X), np.asarray(st.U)))
+            def cb(itr, st):
+                history.append((np.asarray(st.X), np.asarray(st.U)))
+                con_hist.append((np.asarray(st.hx).max(axis=0),
+                                 np.asarray(st.hu).max(axis=0)))
         st = altro.solve_verbose(sys_, params, cfg, X0, U0, callback=cb,
                                  print_table=args.verbose)
         if not args.verbose:
@@ -98,6 +102,10 @@ def main():
 
         plots.plot_all(args.system, sys_, st)
         plots.plot_history(args.system, history, sys_.dt)
+        if con_hist:
+            plots.plot_per_constraint_violations(
+                args.system, [hx for hx, _ in con_hist],
+                [hu for _, hu in con_hist])
         viz.visualize_scene(args.system, sys_, params, st)
         print(f"Wrote plots + scene renders to result_images/{args.system}/")
 

@@ -74,6 +74,26 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(st2.iter) == int(st.iter)
 
 
+def test_checkpoint_roundtrip_no_template(tmp_path):
+    """A real quadrotor state (warm = 7 per-group (x, s, z) triples, i.e. 21
+    leaves — the structure the old flat fallback mis-assembled) round-trips
+    WITHOUT a template: the index paths stored by save() rebuild the nested
+    pytree exactly."""
+    from dcol_tpu.systems import quadrotor
+
+    sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)
+    st = jax.jit(lambda p, a, b: altro.make_initial_state(sys_, p, cfg, a, b)
+                 )(params, X0, U0)
+    path = os.path.join(tmp_path, "state.npz")
+    checkpoint.save(path, st)
+    st2 = checkpoint.load(path)  # no like=
+    assert jax.tree_util.tree_structure(st2) == \
+        jax.tree_util.tree_structure(st)
+    for a, b in zip(jax.tree_util.tree_leaves(st),
+                    jax.tree_util.tree_leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_resume_continues(tmp_path):
     """A capped solve checkpointed and resumed reaches the same result as an
     uninterrupted solve."""

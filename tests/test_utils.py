@@ -26,6 +26,19 @@ def test_plots_and_viz_piano(tmp_path, monkeypatch):
     assert "iter" in table and len(table.splitlines()) == int(st.iter) + 2
 
 
+def test_per_constraint_violation_plots(tmp_path, monkeypatch):
+    """Per-constraint violation-history curves (reference utils/plots.py:
+    288-322 parity — dead code there, live here)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(1)
+    hx_hist = rng.normal(size=(15, 3))  # 15 iterations, 3 state constraints
+    hu_hist = rng.normal(size=(15, 6))
+    plots.plot_per_constraint_violations("piano_mover", hx_hist, hu_hist)
+    d = os.path.join(tmp_path, "result_images", "piano_mover")
+    assert os.path.exists(os.path.join(d, "state_constraints.png"))
+    assert os.path.exists(os.path.join(d, "control_constraints.png"))
+
+
 def test_viz_3d_all_primitives(tmp_path, monkeypatch):
     """The 3-D renderer draws every primitive kind in the quadrotor scene."""
     monkeypatch.chdir(tmp_path)
