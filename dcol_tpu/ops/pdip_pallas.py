@@ -3,30 +3,37 @@
 Same algorithm as :mod:`dcol_tpu.ops.pdip` (Mehrotra predictor-corrector with
 NT scaling; see there for the reference mapping) but laid out for the TPU VPU:
 
-  * **batch on lanes**: every quantity of the tiny (NR x NV) conic problem is
-    stored problem-major with the scenario batch on the LAST axis, so each
-    scalar of the algorithm is one 128-lane vector op over the batch tile.
-    The XLA path's (B, NR, NV) layout pads NV=4..8 up to 128 lanes (>90%
-    lane waste); this layout wastes nothing.
-  * **pure 2-D working set**: cone blocks (orthant / SOCs) and matrix
-    columns are separate 2-D ``(rows, BT)`` values read straight from the
-    refs — Mosaic's vector layouts stay offset-free, and the tiny Cholesky,
-    triangular solves, and cone algebra unroll into straight-line VPU code.
+  * **batch on full vregs**: every scalar of the tiny (NR x NV) conic problem
+    is stored as ONE ``(SL, 128)`` array over the batch tile — exactly one
+    VPU vector register at the default ``SL = 8`` (tile = 1024 lanes).  Each
+    scalar op of the interior-point algorithm is therefore ONE vector
+    instruction.  (The previous layout kept cone blocks as ``(rows, BT)``
+    arrays: every scalar — Cholesky entries, dots, step lengths — was a
+    ``(1, BT)`` value occupying 8 vregs at 1/8 sublane utilisation, and SOC
+    head/tail ops paid ``jnp.concatenate`` relayouts.  Folding the batch
+    into the sublane axis removed both: measured 1.65x on the cold kernel,
+    8.8 -> 5.4 ms for the 70,400-problem quadrotor batch.)
+  * **rows as Python lists**: a cone-block vector is a list of per-row
+    ``(SL, 128)`` arrays; row reductions are unrolled adds, block
+    concatenation is list concatenation (free), and the tiny Cholesky,
+    triangular solves, and cone algebra unroll into straight-line VPU code
+    with no relayouts.
   * **exact static layouts**: the kernel is specialised per
     :class:`~dcol_tpu.ops.cones.ConeLayout` — any combination of an orthant
     block (possibly absent) and 0-2 SOC blocks of exact dims.  Pair problems
     grouped by primitive kind (see ``CollisionScene.groups``) therefore pay
     zero padding rows: a polytope-polytope pair runs as a pure-orthant LP.
   * one ``pallas_call`` solves the whole batch: grid over batch tiles of
-    ``BT`` lanes, all operands resident in VMEM (~100 KB/tile).
+    ``SL*128`` lanes, all operands resident in VMEM.
 
 The wrapper :func:`solve_socp_pallas` accepts/returns the same (B, ...)
 convention as ``solve_socp`` and is numerically interchangeable with it
 (tested batch-vs-batch in ``tests/test_pdip_pallas.py``).
 
-Vectors over the composite cone are tuples of per-block ``(rows, BT)``
-arrays (one entry per present cone block); the NV-dim primal lives as a
-list of ``(1, BT)`` rows.
+The per-iteration math lives in :func:`_make_math` as pure functions over
+lists of ``(SL, 128)`` arrays, shared between the kernel and
+``tools/roofline.py`` (which traces one iteration to count the vector
+instructions it issues).
 """
 
 from __future__ import annotations
@@ -44,45 +51,56 @@ from dcol_tpu.ops.pdip import SocpSolution
 _TINY = 1e-25
 
 
-def _rsum(a):
-    """Row-axis reduction -> (1, BT)."""
-    return jnp.sum(a, axis=0, keepdims=True)
+def _rsum(rows):
+    """Sum a list of (SL, 128) row arrays -> (SL, 128)."""
+    acc = rows[0]
+    for r in rows[1:]:
+        acc = acc + r
+    return acc
 
 
-def _rmin(a):
-    return jnp.min(a, axis=0, keepdims=True)
+def _rmin(rows):
+    acc = rows[0]
+    for r in rows[1:]:
+        acc = jnp.minimum(acc, r)
+    return acc
 
 
-# -- SOC block primitives ----------------------------------------------------
+# -- SOC block primitives (vectors = lists of (SL, 128) rows) ----------------
 
 def _soc_quad(x):
-    return x[0:1] ** 2 - _rsum(x[1:] ** 2)
+    return x[0] * x[0] - _rsum([xi * xi for xi in x[1:]])
 
 
 def _soc_prod(u, v):
-    return jnp.concatenate(
-        [_rsum(u * v), u[0:1] * v[1:] + v[0:1] * u[1:]], axis=0)
+    head = _rsum([ui * vi for ui, vi in zip(u, v)])
+    return [head] + [u[0] * vi + v[0] * ui
+                     for ui, vi in zip(u[1:], v[1:])]
 
 
 def _soc_inv_prod(u, w):
-    u0, u1 = u[0:1], u[1:]
-    w0, w1 = w[0:1], w[1:]
     rho = _soc_quad(u)
-    nu = _rsum(u1 * w1)
-    head = u0 * w0 - nu
-    tail = (nu / u0 - w0) * u1 + (rho / u0) * w1
-    return jnp.concatenate([head, tail], axis=0) / rho
+    inv_rho = 1.0 / rho
+    inv_u0 = 1.0 / u[0]
+    nu = _rsum([ui * wi for ui, wi in zip(u[1:], w[1:])])
+    a = (nu * inv_u0 - w[0]) * inv_rho
+    b = rho * inv_u0 * inv_rho
+    head = (u[0] * w[0] - nu) * inv_rho
+    return [head] + [a * ui + b * wi for ui, wi in zip(u[1:], w[1:])]
 
 
 def _soc_nt(s, z):
     js = jnp.maximum(_soc_quad(s), _TINY)
     jz = jnp.maximum(_soc_quad(z), _TINY)
-    sbar = s / jnp.sqrt(js)
-    zbar = z / jnp.sqrt(jz)
-    gamma = jnp.sqrt((1.0 + _rsum(sbar * zbar)) / 2.0)
-    Jz = jnp.concatenate([zbar[0:1], -zbar[1:]], axis=0)
-    wbar = (sbar + Jz) / (2.0 * gamma)
-    eta = (js / jz) ** 0.25
+    rs, rz = jax.lax.rsqrt(js), jax.lax.rsqrt(jz)
+    sbar = [si * rs for si in s]
+    zbar = [zi * rz for zi in z]
+    # 0.5/gamma via one rsqrt; gamma = sqrt((1 + <sbar, zbar>)/2)
+    half_inv_gamma = 0.5 * jax.lax.rsqrt(
+        (1.0 + _rsum([a * b for a, b in zip(sbar, zbar)])) * 0.5)
+    wbar = [(sbar[0] + zbar[0]) * half_inv_gamma] + [
+        (si - zi) * half_inv_gamma for si, zi in zip(sbar[1:], zbar[1:])]
+    eta = (js * (1.0 / jz)) ** 0.25
     # cache 1/eta: the inverse apply runs ~10x per PDIP iteration (VPU
     # divides are multi-cycle; one divide here replaces one per apply)
     return (eta, 1.0 / eta), wbar
@@ -90,26 +108,24 @@ def _soc_nt(s, z):
 
 def _soc_apply(eta_pair, wbar, v, inverse):
     eta, eta_inv = eta_pair
-    w0, w1 = wbar[0:1], wbar[1:]
     sgn = -1.0 if inverse else 1.0
-    v0, v1 = v[0:1], v[1:]
-    w1v1 = _rsum(w1 * v1)
-    head = w0 * v0 + sgn * w1v1
-    tail = v1 + (sgn * v0 + w1v1 / (1.0 + w0)) * w1
-    out = jnp.concatenate([head, tail], axis=0)
-    return out * eta_inv if inverse else out * eta
+    w1v1 = _rsum([wi * vi for wi, vi in zip(wbar[1:], v[1:])])
+    head = wbar[0] * v[0] + sgn * w1v1
+    coef = sgn * v[0] + w1v1 / (1.0 + wbar[0])
+    scale = eta_inv if inverse else eta
+    return [head * scale] + [(vi + coef * wi) * scale
+                             for vi, wi in zip(v[1:], wbar[1:])]
 
 
 def _soc_linesearch(y, d):
-    y0, yv = y[0:1], y[1:]
-    d0, dv = d[0:1], d[1:]
     nu = jnp.maximum(_soc_quad(y), _TINY)
-    sq = jnp.sqrt(nu)
-    zeta = y0 * d0 - _rsum(yv * dv)
-    rho0 = zeta / nu
-    coef = (zeta / sq + d0) / (y0 / sq + 1.0)
-    rv = dv / sq - coef * yv / nu
-    rnorm = jnp.sqrt(_rsum(rv * rv))
+    inv_nu = 1.0 / nu
+    rsq = jax.lax.rsqrt(nu)  # 1/sqrt(nu)
+    zeta = y[0] * d[0] - _rsum([yi * di for yi, di in zip(y[1:], d[1:])])
+    rho0 = zeta * inv_nu
+    coef = (zeta * rsq + d[0]) / (y[0] * rsq + 1.0)
+    rv = [di * rsq - coef * yi * inv_nu for yi, di in zip(y[1:], d[1:])]
+    rnorm = jnp.sqrt(_rsum([ri * ri for ri in rv]))
     lim = 1.0 / jnp.maximum(rnorm - rho0, _TINY)
     return jnp.where(rnorm > rho0, jnp.minimum(1.0, lim), 1.0)
 
@@ -117,27 +133,29 @@ def _soc_linesearch(y, d):
 # -- composite-cone ops over static block lists ------------------------------
 #
 # ``kinds`` is a static tuple of 'ort' / 'soc' tags; cone vectors are tuples
-# of (rows, BT) arrays aligned with it.  All loops below unroll at trace time.
+# of per-block row lists aligned with it.  All loops unroll at trace time.
 
 def _make_cone_ops(kinds):
     n_blocks = len(kinds)
 
     def prod(u, v):
         return tuple(
-            u[i] * v[i] if kinds[i] == "ort" else _soc_prod(u[i], v[i])
-            for i in range(n_blocks))
+            [ui * vi for ui, vi in zip(u[i], v[i])] if kinds[i] == "ort"
+            else _soc_prod(u[i], v[i]) for i in range(n_blocks))
 
     def inv_prod(lam, v):
         return tuple(
-            v[i] / lam[i] if kinds[i] == "ort" else _soc_inv_prod(lam[i], v[i])
-            for i in range(n_blocks))
+            [vi / li for vi, li in zip(v[i], lam[i])] if kinds[i] == "ort"
+            else _soc_inv_prod(lam[i], v[i]) for i in range(n_blocks))
 
     def nt(s, z):
         out = []
         for i in range(n_blocks):
             if kinds[i] == "ort":
-                w = jnp.sqrt(s[i] / z[i])
-                out.append((w, 1.0 / w))
+                # w = sqrt(s/z), 1/w = rsqrt(s/z): one divide + sqrt + rsqrt
+                q = [si / zi for si, zi in zip(s[i], z[i])]
+                out.append(([jnp.sqrt(qi) for qi in q],
+                            [jax.lax.rsqrt(qi) for qi in q]))
             else:
                 out.append(_soc_nt(s[i], z[i]))
         return tuple(out)
@@ -147,38 +165,42 @@ def _make_cone_ops(kinds):
         for i in range(n_blocks):
             if kinds[i] == "ort":
                 w, w_inv = W[i]
-                out.append(v[i] * (w_inv if inverse else w))
+                m = w_inv if inverse else w
+                out.append([vi * mi for vi, mi in zip(v[i], m)])
             else:
                 eta_pair, wbar = W[i]
                 out.append(_soc_apply(eta_pair, wbar, v[i], inverse))
         return tuple(out)
 
     def dot(u, v):
-        acc = _rsum(u[0] * v[0])
-        for i in range(1, n_blocks):
-            acc = acc + _rsum(u[i] * v[i])
-        return acc
+        return _rsum([ui * vi
+                      for i in range(n_blocks)
+                      for ui, vi in zip(u[i], v[i])])
 
     def axpy(a, u, v):
-        return tuple(u[i] + a * v[i] for i in range(n_blocks))
+        return tuple([ui + a * vi for ui, vi in zip(u[i], v[i])]
+                     for i in range(n_blocks))
 
     def select(m, u, v):
-        return tuple(jnp.where(m, u[i], v[i]) for i in range(n_blocks))
+        return tuple([jnp.where(m, ui, vi) for ui, vi in zip(u[i], v[i])]
+                     for i in range(n_blocks))
 
     def finite(u):
-        acc = jnp.all(jnp.isfinite(u[0]), axis=0, keepdims=True)
-        for i in range(1, n_blocks):
-            acc = acc & jnp.all(jnp.isfinite(u[i]), axis=0, keepdims=True)
+        acc = None
+        for i in range(n_blocks):
+            for ui in u[i]:
+                f = jnp.isfinite(ui)
+                acc = f if acc is None else acc & f
         return acc
 
     def linesearch(x, dx):
         a = None
         for i in range(n_blocks):
             if kinds[i] == "ort":
-                xo, do = x[i], dx[i]
-                negm = do < 0
-                ratios = jnp.where(negm, -xo / jnp.where(negm, do, -1.0),
-                                   jnp.inf)
+                ratios = [jnp.where(di < 0,
+                                    -xi / jnp.where(di < 0, di, -1.0),
+                                    jnp.inf)
+                          for xi, di in zip(x[i], dx[i])]
                 ai = jnp.minimum(1.0, _rmin(ratios))
             else:
                 ai = _soc_linesearch(x[i], dx[i])
@@ -191,17 +213,18 @@ def _make_cone_ops(kinds):
             if kinds[i] == "ort":
                 ai = -_rmin(r[i])
             else:
-                ai = -(r[i][0:1] - jnp.sqrt(_rsum(r[i][1:] ** 2)))
+                ai = -(r[i][0] - jnp.sqrt(_rsum([ri * ri
+                                                 for ri in r[i][1:]])))
             a = ai if a is None else jnp.maximum(a, ai)
         shift = 1.0 + a
         ok = a < 0
         out = []
         for i in range(n_blocks):
             if kinds[i] == "ort":
-                ri = r[i] + shift
+                out.append([jnp.where(ok, ri, ri + shift) for ri in r[i]])
             else:
-                ri = jnp.concatenate([r[i][0:1] + shift, r[i][1:]], axis=0)
-            out.append(jnp.where(ok, r[i], ri))
+                out.append([jnp.where(ok, r[i][0], r[i][0] + shift)]
+                           + list(r[i][1:]))
         return tuple(out)
 
     def add_head(u, sm):
@@ -210,9 +233,9 @@ def _make_cone_ops(kinds):
         out = []
         for i in range(n_blocks):
             if kinds[i] == "ort":
-                out.append(u[i] + sm)
+                out.append([ui + sm for ui in u[i]])
             else:
-                out.append(jnp.concatenate([u[i][0:1] + sm, u[i][1:]], axis=0))
+                out.append([u[i][0] + sm] + list(u[i][1:]))
         return tuple(out)
 
     return (prod, inv_prod, nt, W_apply, dot, axpy, select, finite,
@@ -232,7 +255,7 @@ def _layout_blocks(lay: ConeLayout):
 
 
 def _chol_factor(M, nv, jitter):
-    """M: dict {(i,j): (1, BT)} lower triangle -> L entries, plus cached
+    """M: dict {(i,j): (SL, 128)} lower triangle -> L entries, plus cached
     reciprocals of the diagonal (VPU divides are multi-cycle; every factor
     is used by >= 2 triangular-solve pairs, so divide once, multiply after).
     """
@@ -257,7 +280,7 @@ def _chol_factor(M, nv, jitter):
 
 
 def _chol_solve(Lr, b, nv):
-    """b: list of (1, BT) -> list of (1, BT); Lr = (L, rdiag) from
+    """b: list of (SL, 128) -> list of (SL, 128); Lr = (L, rdiag) from
     _chol_factor."""
     L, rdiag = Lr
     y = [None] * nv
@@ -275,17 +298,142 @@ def _chol_solve(Lr, b, nv):
     return x
 
 
-def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
-                 jitter: float, use_warm: bool = False,
-                 use_skip: bool = False, warm_margin: float = 1e-3):
+def _make_math(lay: ConeLayout, nv: int, tol: float, jitter: float):
+    """The per-tile PDIP math over lists of (SL, 128) row arrays, shared by
+    the kernel and the instruction-count tool.
+
+    Returns (cold_init, warm_init, body, cone-ops tuple).  ``Gc`` is the
+    column-major constraint matrix: ``Gc[v]`` = tuple of per-block row lists.
+    ``body(Gc, h, c, carry)`` performs one Mehrotra iteration on
+    ``carry = (x, s, z, done_f, iters)``."""
     blocks = _layout_blocks(lay)
     kinds = tuple(b[0] for b in blocks)
     degree = lay.degree
+    ops = _make_cone_ops(kinds)
     (cone_prod, inv_cone_prod, nt, W_app, dot, axpy, select, finite,
-     linesearch, bring2cone, add_head) = _make_cone_ops(kinds)
+     linesearch, bring2cone, add_head) = ops
+    nb = len(blocks)
 
-    def split_rows(ref_or_arr):
-        return tuple(ref_or_arr[o:o + r, :] for _, o, r in blocks)
+    def matvec(cols, x):
+        """sum_v cols[v] * x[v] blockwise; x: list of (SL, 128)."""
+        acc = tuple([gr * x[0] for gr in cols[0][i]] for i in range(nb))
+        for v in range(1, nv):
+            acc = tuple([ai + gr * x[v]
+                         for ai, gr in zip(acc[i], cols[v][i])]
+                        for i in range(nb))
+        return acc
+
+    def rmatvec(cols, zt):
+        """G' z -> list of (SL, 128)."""
+        return [dot(cols[v], zt) for v in range(nv)]
+
+    def gram(cols):
+        return {(i, j): dot(cols[i], cols[j])
+                for i in range(nv) for j in range(i + 1)}
+
+    neg = lambda u: tuple([-r for r in u[i]] for i in range(nb))
+
+    def cold_init(Gc, h, c):
+        """pdip.py initialize: least-squares + bring2cone."""
+        L0 = _chol_factor(gram(Gc), nv, jitter)
+        x = _chol_solve(L0, rmatvec(Gc, h), nv)
+        Gx = matvec(Gc, x)
+        s = bring2cone(tuple([gi - hi for gi, hi in zip(Gx[i], h[i])]
+                             for i in range(nb)))
+        xd = _chol_solve(L0, [-ci for ci in c], nv)
+        z = bring2cone(matvec(Gc, xd))
+        return x, s, z
+
+    def warm_init(xw, sw, zw, margin):
+        """Previous optimum shifted strictly into the cone interior."""
+        s = bring2cone(add_head(sw, margin))
+        z = bring2cone(add_head(zw, margin))
+        return list(xw), s, z
+
+    def body(Gc, h, c, carry):
+        x, s, z, done_f, iters = carry
+        done = done_f > 0.5
+        W = nt(s, z)
+        lam = W_app(W, z)
+        lam_lam = cone_prod(lam, lam)
+        rx = rmatvec(Gc, z)
+        rx = [rx[v] + c[v] for v in range(nv)]
+        Gx = matvec(Gc, x)
+        rz = tuple([si + gi - hi
+                    for si, gi, hi in zip(s[i], Gx[i], h[i])]
+                   for i in range(nb))
+        mu = dot(s, z) * (1.0 / degree)
+        new_done = done | (mu < tol) | ~(mu == mu)
+
+        Gt = [W_app(W, Gc[v], inverse=True) for v in range(nv)]
+        L = _chol_factor(gram(Gt), nv, jitter)
+
+        def newton(lam_ds):
+            wlds = W_app(W, lam_ds)
+            rhs = tuple([-ri - wi for ri, wi in zip(rz[i], wlds[i])]
+                        for i in range(nb))
+            b_z = W_app(W, rhs, inverse=True)
+            bvec = [-rx[v] + dot(Gt[v], b_z) for v in range(nv)]
+            dx = _chol_solve(L, bvec, nv)
+            Gtdx = matvec(Gt, dx)
+            dz = W_app(W, tuple([gi - bi
+                                 for gi, bi in zip(Gtdx[i], b_z[i])]
+                                for i in range(nb)),
+                       inverse=True)
+            wdz = W_app(W, dz)
+            ds = W_app(W, tuple([li - wi
+                                 for li, wi in zip(lam_ds[i], wdz[i])]
+                                for i in range(nb)))
+            return dx, ds, dz
+
+        dx_a, ds_a, dz_a = newton(inv_cone_prod(lam, neg(lam_lam)))
+        a_aff = jnp.minimum(linesearch(s, ds_a), linesearch(z, dz_a))
+        rho = (dot(axpy(a_aff, s, ds_a), axpy(a_aff, z, dz_a))
+               / dot(s, z))
+        sigma = jnp.clip(rho, 0.0, 1.0) ** 3
+        sm = sigma * mu
+
+        comb = cone_prod(W_app(W, ds_a, inverse=True), W_app(W, dz_a))
+        ds_rhs = add_head(
+            tuple([-li - ci for li, ci in zip(lam_lam[i], comb[i])]
+                  for i in range(nb)), sm)
+        dx_c, ds_c, dz_c = newton(inv_cone_prod(lam, ds_rhs))
+        a = jnp.minimum(
+            1.0, 0.99 * jnp.minimum(linesearch(s, ds_c),
+                                    linesearch(z, dz_c)))
+
+        xn = [x[v] + a * dx_c[v] for v in range(nv)]
+        sn = axpy(a, s, ds_c)
+        zn = axpy(a, z, dz_c)
+        goodx = jnp.ones_like(done)
+        for v in range(nv):
+            goodx = goodx & jnp.isfinite(xn[v])
+        good = goodx & finite(sn) & finite(zn)
+        act = ~new_done & good
+        x = [jnp.where(act, xn[v], x[v]) for v in range(nv)]
+        s = select(act, sn, s)
+        z = select(act, zn, z)
+        new_done = new_done | ~good
+        iters = iters + jnp.where(act, 1.0, 0.0)
+        return (x, s, z,
+                jnp.where(new_done, 1.0, 0.0).astype(x[0].dtype), iters)
+
+    def mu_of(s, z):
+        return dot(s, z) * (1.0 / degree)
+
+    return cold_init, warm_init, body, mu_of, blocks
+
+
+def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
+                 jitter: float, use_warm: bool = False,
+                 use_skip: bool = False, warm_margin: float = 1e-3):
+    cold_init, warm_init, body, mu_of, blocks = _make_math(
+        lay, nv, tol, jitter)
+    nr = lay.nr
+
+    def split_rows(ref):
+        """(nr, SL, 128) ref -> tuple of per-block row lists."""
+        return tuple([ref[o + i] for i in range(r)] for _, o, r in blocks)
 
     def kernel(*refs):
         skip_ref = None
@@ -297,47 +445,21 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
              x_ref, s_ref, z_ref, mu_ref, it_ref) = refs
         else:
             G_ref, h_ref, c_ref, x_ref, s_ref, z_ref, mu_ref, it_ref = refs
-        BT = G_ref.shape[-1]
         dt = G_ref.dtype
-        # G columns per cone block: pure 2-D values straight from the ref
-        Gc = [tuple(G_ref[o:o + r, v, :] for _, o, r in blocks)
-              for v in range(nv)]
+        SL = G_ref.shape[-2]
+        # G columns per cone block: G_ref is (nv*nr, SL, 128), row-major in
+        # (v, row); each entry one (SL, 128) vreg tile
+        Gc = [tuple([G_ref[v * nr + o + i] for i in range(r)]
+                    for _, o, r in blocks) for v in range(nv)]
         h = split_rows(h_ref)
-        c = [c_ref[v:v + 1, :] for v in range(nv)]
+        c = [c_ref[v] for v in range(nv)]
 
-        def matvec(cols, x):
-            """sum_v cols[v] * x[v] blockwise; x: list of (1, BT)."""
-            acc = tuple(cols[0][i] * x[0] for i in range(len(blocks)))
-            for v in range(1, nv):
-                acc = tuple(acc[i] + cols[v][i] * x[v]
-                            for i in range(len(blocks)))
-            return acc
-
-        def rmatvec(cols, zt):
-            """G' z -> list of (1, BT)."""
-            return [dot(cols[v], zt) for v in range(nv)]
-
-        def gram(cols):
-            return {(i, j): dot(cols[i], cols[j])
-                    for i in range(nv) for j in range(i + 1)}
-
-        neg = lambda u: tuple(-ui for ui in u)
         if use_warm:
-            # previous optimum shifted strictly into the cone interior
-            margin = warm_margin
-            x = [xw_ref[v:v + 1, :] for v in range(nv)]
-            sw = split_rows(sw_ref)
-            zw = split_rows(zw_ref)
-            s = bring2cone(add_head(sw, margin))
-            z = bring2cone(add_head(zw, margin))
+            xw = [xw_ref[v] for v in range(nv)]
+            x, s, z = warm_init(xw, split_rows(sw_ref), split_rows(zw_ref),
+                                warm_margin)
         else:
-            # cold start (pdip.py initialize)
-            L0 = _chol_factor(gram(Gc), nv, jitter)
-            x = _chol_solve(L0, rmatvec(Gc, h), nv)
-            Gx = matvec(Gc, x)
-            s = bring2cone(axpy(jnp.full((1, BT), -1.0, dt), Gx, h))
-            xd = _chol_solve(L0, [-ci for ci in c], nv)
-            z = bring2cone(matvec(Gc, xd))
+            x, s, z = cold_init(Gc, h, c)
 
         # NOTE: the loop carry holds the done-mask as f32 (1.0 = done) —
         # Mosaic cannot legalize scf.for with vector<i1> carries
@@ -345,71 +467,10 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
             # skip-flagged lanes start done: an all-skipped batch tile exits
             # the while_loop after ZERO body iterations (output = the
             # initial/warm iterate) — the caller discards their results
-            done = skip_ref[...].astype(dt)
+            done = skip_ref[0].astype(dt)
         else:
-            done = jnp.zeros((1, BT), dtype=dt)
-        iters = jnp.zeros((1, BT), dtype=jnp.float32)
-
-        def body(_, carry):
-            x, s, z, done_f, iters = carry
-            done = done_f > 0.5
-            W = nt(s, z)
-            lam = W_app(W, z)
-            lam_lam = cone_prod(lam, lam)
-            rx = rmatvec(Gc, z)            # + c below
-            rx = [rx[v] + c[v] for v in range(nv)]
-            Gx = matvec(Gc, x)
-            rz = tuple(s[i] + Gx[i] - h[i] for i in range(len(blocks)))
-            mu = dot(s, z) / degree
-            new_done = done | (mu < tol) | ~(mu == mu)
-
-            Gt = [W_app(W, Gc[v], inverse=True) for v in range(nv)]
-            L = _chol_factor(gram(Gt), nv, jitter)
-
-            def newton(lam_ds):
-                wlds = W_app(W, lam_ds)
-                rhs = tuple(-rz[i] - wlds[i] for i in range(len(blocks)))
-                b_z = W_app(W, rhs, inverse=True)
-                bvec = [-rx[v] + dot(Gt[v], b_z) for v in range(nv)]
-                dx = _chol_solve(L, bvec, nv)
-                Gtdx = matvec(Gt, dx)
-                dz = W_app(W, tuple(Gtdx[i] - b_z[i]
-                                    for i in range(len(blocks))),
-                           inverse=True)
-                wdz = W_app(W, dz)
-                ds = W_app(W, tuple(lam_ds[i] - wdz[i]
-                                    for i in range(len(blocks))))
-                return dx, ds, dz
-
-            dx_a, ds_a, dz_a = newton(inv_cone_prod(lam, neg(lam_lam)))
-            a_aff = jnp.minimum(linesearch(s, ds_a), linesearch(z, dz_a))
-            rho = (dot(axpy(a_aff, s, ds_a), axpy(a_aff, z, dz_a))
-                   / dot(s, z))
-            sigma = jnp.clip(rho, 0.0, 1.0) ** 3
-            sm = sigma * mu
-
-            comb = cone_prod(W_app(W, ds_a, inverse=True), W_app(W, dz_a))
-            ds_rhs = add_head(
-                tuple(-lam_lam[i] - comb[i] for i in range(len(blocks))), sm)
-            dx_c, ds_c, dz_c = newton(inv_cone_prod(lam, ds_rhs))
-            a = jnp.minimum(
-                1.0, 0.99 * jnp.minimum(linesearch(s, ds_c),
-                                        linesearch(z, dz_c)))
-
-            xn = [x[v] + a * dx_c[v] for v in range(nv)]
-            sn = axpy(a, s, ds_c)
-            zn = axpy(a, z, dz_c)
-            goodx = jnp.ones_like(done)
-            for v in range(nv):
-                goodx = goodx & jnp.isfinite(xn[v])
-            good = goodx & finite(sn) & finite(zn)
-            act = ~new_done & good
-            x = [jnp.where(act, xn[v], x[v]) for v in range(nv)]
-            s = select(act, sn, s)
-            z = select(act, zn, z)
-            new_done = new_done | ~good
-            iters = iters + jnp.where(act, 1.0, 0.0)
-            return x, s, z, jnp.where(new_done, 1.0, 0.0).astype(x[0].dtype), iters
+            done = jnp.zeros((SL, 128), dtype=dt)
+        iters = jnp.zeros((SL, 128), dtype=jnp.float32)
 
         # while_loop with an all-done early exit: the mean iteration count
         # (~8-12) is well under max_iters, so exiting early wins ~2-3x over a
@@ -419,17 +480,21 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
             return (i < max_iters) & (jnp.min(done_f) < 0.5)
 
         def wbody(carry):
-            i, *rest = carry
-            return (i + 1,) + tuple(body(i, tuple(rest)))
+            i, x, s, z, done_f, iters = carry
+            return (i + 1,) + body(Gc, h, c, (x, s, z, done_f, iters))
 
         _, x, s, z, done, iters = jax.lax.while_loop(
             cond, wbody, (jnp.zeros((), jnp.int32), x, s, z, done, iters))
 
-        x_ref[:] = jnp.concatenate(x, axis=0)
-        s_ref[:] = jnp.concatenate(s, axis=0)
-        z_ref[:] = jnp.concatenate(z, axis=0)
-        mu_ref[:] = dot(s, z) / degree
-        it_ref[:] = iters
+        for v in range(nv):
+            x_ref[v] = x[v]
+        srows = [r for blk in s for r in blk]
+        zrows = [r for blk in z for r in blk]
+        for i in range(nr):
+            s_ref[i] = srows[i]
+            z_ref[i] = zrows[i]
+        mu_ref[0] = mu_of(s, z)
+        it_ref[0] = iters
 
     return kernel
 
@@ -446,23 +511,35 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     ``skip``: optional (B,) bool — members whose result the caller discards;
     they start in the done state, so an all-skipped batch tile costs ZERO
     solver iterations (see solve_socp).
-    ``block`` is the lane-tile width; it is clamped down to the 128-padded
-    batch so small batches never pay instruction issue for unused lanes."""
+    ``block`` is the lane-tile width (a multiple of 128; 1024 = 8 sublanes x
+    128 lanes = one full vreg per scalar); it is clamped down to the
+    128-padded batch so small batches never pay instruction issue for unused
+    lanes."""
     B, nr, nv = G.shape
     assert nr == lay.nr, (nr, lay)
+    if skip is not None and warm is None:
+        raise ValueError(
+            "skip= requires warm=: a skipped member's output is its entry "
+            "iterate, which is only meaningful as a previous converged "
+            "solution, not the cold least-squares initializer")
     dt = G.dtype
     block = max(128, min(block, -(-B // 128) * 128))
+    SL = block // 128
     Bp = max(block, -(-B // block) * block)
 
-    def to_lanes(a):
+    def to_tiles(a):
+        """(B, dims...) -> (prod(dims), Bp//128, 128): batch folded into
+        (sublane-group, lane) tiles, leading problem dims flattened."""
         a = jnp.moveaxis(a, 0, -1)  # batch -> last
         pad = Bp - B
         if pad:
             a = jnp.concatenate([a, jnp.repeat(a[..., -1:], pad, axis=-1)],
                                 axis=-1)
-        return a
+        return a.reshape((-1, Bp // 128, 128))
 
-    Gl, hl, cl = to_lanes(G), to_lanes(h), to_lanes(c)
+    # G: (B, nr, nv) -> rows (v, r) row-major to match the kernel's indexing
+    Gl = to_tiles(jnp.swapaxes(G, -1, -2))  # (nv*nr, Bp//128, 128)
+    hl, cl = to_tiles(h), to_tiles(c)
     inputs = [Gl, hl, cl]
     kernel = _make_kernel(lay, nv, tol, max_iters, jitter,
                           use_warm=warm is not None,
@@ -470,39 +547,41 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                           warm_margin=warm_margin)
     grid = (Bp // block,)
 
-    def bspec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(dims + (block,),
-                            lambda b: (0,) * nd + (b,),
+    def bspec(rows):
+        return pl.BlockSpec((rows, SL, 128), lambda b: (0, b, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [bspec(nr, nv), bspec(nr), bspec(nv)]
+    in_specs = [bspec(nr * nv), bspec(nr), bspec(nv)]
     if warm is not None:
         xw, sw, zw = warm
-        inputs += [to_lanes(xw.astype(dt)), to_lanes(sw.astype(dt)),
-                   to_lanes(zw.astype(dt))]
+        inputs += [to_tiles(xw.astype(dt)), to_tiles(sw.astype(dt)),
+                   to_tiles(zw.astype(dt))]
         in_specs += [bspec(nv), bspec(nr), bspec(nr)]
     if skip is not None:
-        inputs.append(to_lanes(
+        inputs.append(to_tiles(
             jnp.broadcast_to(skip, (B,)).astype(dt)[:, None]))
         in_specs.append(bspec(1))
 
+    nt = Bp // 128
     x, s, z, mu, iters = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(bspec(nv), bspec(nr), bspec(nr), bspec(1), bspec(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((nv, Bp), dt),
-            jax.ShapeDtypeStruct((nr, Bp), dt),
-            jax.ShapeDtypeStruct((nr, Bp), dt),
-            jax.ShapeDtypeStruct((1, Bp), dt),
-            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((nv, nt, 128), dt),
+            jax.ShapeDtypeStruct((nr, nt, 128), dt),
+            jax.ShapeDtypeStruct((nr, nt, 128), dt),
+            jax.ShapeDtypeStruct((1, nt, 128), dt),
+            jax.ShapeDtypeStruct((1, nt, 128), jnp.float32),
         ),
         interpret=interpret,
     )(*inputs)
 
-    back = lambda a: jnp.moveaxis(a, -1, 0)[:B]
+    def back(a):
+        a = a.reshape(a.shape[0], Bp)
+        return jnp.moveaxis(a, -1, 0)[:B]
+
     x, s, z = back(x), back(s), back(z)
     mu = back(mu)[:, 0]
     iters = back(iters)[:, 0].astype(jnp.int32)
