@@ -36,12 +36,16 @@ def dcm_from_mrp(p: jnp.ndarray) -> jnp.ndarray:
     """Direction cosine matrix from an MRP vector (3,) -> (3, 3).
 
     Equivalent to the expanded form at ``primitives/problem_matrices.py:213-251``
-    in the reference.
+    in the reference.  Uses the identity [p]x^2 = p p' - (p'p) I so the whole
+    map is elementwise — a literal ``S @ S`` is a (3,3) dot_general, which
+    XLA:TPU lowers to a padded MXU op inside the hot vmapped/jacfwd paths
+    (the same pathology as the round-3 A-B-A chain finding).
     """
-    pp = p @ p
+    pp = jnp.sum(p * p)
     S = skew(p)
+    SS = p[:, None] * p[None, :] - pp * jnp.eye(3, dtype=p.dtype)
     den = (1.0 + pp) ** 2
-    return jnp.eye(3, dtype=p.dtype) + (8.0 * (S @ S) + 4.0 * (1.0 - pp) * S) / den
+    return jnp.eye(3, dtype=p.dtype) + (8.0 * SS + 4.0 * (1.0 - pp) * S) / den
 
 
 def mrp_from_quat(q) -> jnp.ndarray:
@@ -56,8 +60,12 @@ def mrp_kinematics(p: jnp.ndarray, omega: jnp.ndarray) -> jnp.ndarray:
     B(p) = ((1 + p'p)/4) * (I + 2 ([p]x^2 + [p]x) / (1 + p'p)),
     matching ``systems/cluttered_hallway_quadrotor.py:72-74`` and
     ``systems/cone_through_wall.py:43-47``.
+
+    B(p) omega is evaluated matrix-free ([p]x^2 w = p (p.w) - (p'p) w,
+    [p]x w = p x w) so no (3,3) dot_general reaches XLA:TPU's padded-MXU
+    small-matmul path in the vmapped rollout / jacfwd hot loops.
     """
-    pp = p @ p
-    S = skew(p)
-    B = ((1.0 + pp) / 4.0) * (jnp.eye(3, dtype=p.dtype) + 2.0 * (S @ S + S) / (1.0 + pp))
-    return B @ omega
+    pp = jnp.sum(p * p)
+    SSw = p * jnp.sum(p * omega) - pp * omega
+    Sw = jnp.cross(p, omega)
+    return ((1.0 + pp) / 4.0) * (omega + 2.0 * (SSw + Sw) / (1.0 + pp))

@@ -45,14 +45,16 @@ class Quadrotor(System):
 
         # rotor forces clamp to >= 0 (reference :53-56); kink-differentiable
         F_rot = jnp.maximum(0.0, KF * u)
-        F_body = jnp.array([0.0, 0.0, 1.0], dt) * jnp.sum(F_rot)
         M = KM * u
         tau = jnp.stack([
             ARM_L * (F_rot[1] - F_rot[3]),
             ARM_L * (F_rot[2] - F_rot[0]),
             M[0] - M[1] + M[2] - M[3],
         ])
-        f_world = MASS * jnp.array([0.0, 0.0, -GRAVITY], dt) + Q @ F_body
+        # body thrust is along e3, so Q @ F_body == Q[:, 2] * |F| — keep the
+        # tiny matvec off XLA:TPU's padded-MXU dot path (hot under jacfwd)
+        f_world = (MASS * jnp.array([0.0, 0.0, -GRAVITY], dt)
+                   + Q[:, 2] * jnp.sum(F_rot))
         # inertia is diagonal: solve(J, .) is an elementwise divide (avoids
         # XLA:TPU's small-matrix LU path, which is both slow and inaccurate)
         omega_dot = (tau - jnp.cross(omega, Jd * omega)) / Jd
