@@ -48,11 +48,37 @@ S_PAD = 4  # padded SOC block size (max over kinds; see primitives.SOC_DIM)
 # Per-primitive blocks (local column convention: [contact(3); alpha; extras])
 # ---------------------------------------------------------------------------
 
+# Tiny (<=14 x 3) matmuls are written elementwise: XLA:TPU lowers small
+# dot_generals to padded MXU ops, which is the dominant cost of the hot
+# vmapped assembly/jacfwd paths (see mrp.py and the round-3 A-B-A note).
+
+def _mmT(A, Q):
+    """A @ Q.T without dot_general: A (n, 3), Q (3, 3) -> (n, 3)."""
+    return sum(A[..., k:k + 1] * Q[..., None, :, k] for k in range(3))
+
+
+def _mv(A, v):
+    """A @ v without dot_general: A (n, 3), v (3,) -> (n,)."""
+    return sum(A[..., :, k] * v[..., None, k] for k in range(3))
+
+
 def _world_pose(shape: prim.Shape, r, p):
-    """Apply the rigid body offset: world rotation and position of the shape."""
+    """Apply the rigid body offset: world rotation and position of the shape.
+    Identity/zero offsets (the common case) are detected statically and skip
+    the transform entirely."""
     Q = dcm_from_mrp(p)
-    r_w = r + Q @ jnp.asarray(shape.r_offset, dtype=r.dtype)
-    Q_w = Q @ jnp.asarray(shape.Q_offset, dtype=r.dtype)
+    r_off = np.asarray(shape.r_offset, dtype=np.float64)
+    Q_off = np.asarray(shape.Q_offset, dtype=np.float64)
+    if np.allclose(r_off, 0.0):
+        r_w = r
+    else:
+        ro = jnp.asarray(shape.r_offset, dtype=r.dtype)
+        r_w = r + sum(Q[..., :, k] * ro[k] for k in range(3))
+    if np.allclose(Q_off, np.eye(3)):
+        Q_w = Q
+    else:
+        Qo = jnp.asarray(shape.Q_offset, dtype=r.dtype)
+        Q_w = sum(Q[..., :, k:k + 1] * Qo[k, None, :] for k in range(3))
     return r_w, Q_w
 
 
@@ -71,9 +97,9 @@ def prim_blocks(shape: prim.Shape, r, p):
     if k == prim.POLYTOPE:
         A = jnp.asarray(shape.A_np(), dtype=dt)
         b = jnp.asarray(shape.b_np(), dtype=dt)
-        AQt = A @ Q.T
+        AQt = _mmT(A, Q)
         G_ort = jnp.concatenate([AQt, -b[:, None]], axis=1)
-        h_ort = AQt @ rw
+        h_ort = _mv(AQt, rw)
         G_soc = jnp.zeros((0, 4), dtype=dt)
         h_soc = jnp.zeros((0,), dtype=dt)
         return G_ort, h_ort, G_soc, h_soc
@@ -89,14 +115,14 @@ def prim_blocks(shape: prim.Shape, r, p):
 
     if k == prim.CONE:
         tb = np.tan(shape.beta)
-        E = jnp.diag(jnp.array([tb, 1.0, 1.0], dtype=dt))
         bx = Q[:, 0]
-        EQt = E @ Q.T
-        h_soc = -EQt @ rw
+        # E @ Q.T with E = diag([tan b, 1, 1]) is a row scale of Q.T
+        EQt = jnp.array([tb, 1.0, 1.0], dtype=dt)[:, None] * Q.T
+        h_soc = -_mv(EQt, rw)
         last_col = -jnp.array([tb * 3.0 * shape.H / 4.0, 0.0, 0.0], dtype=dt)[:, None]
         G_soc = jnp.concatenate([-EQt, last_col], axis=1)
         G_ort = jnp.concatenate([bx, jnp.array([-shape.H / 4.0], dtype=dt)])[None, :]
-        h_ort = (bx @ rw)[None]
+        h_ort = jnp.sum(bx * rw)[None]
         return G_ort, h_ort, G_soc, h_soc
 
     if k == prim.CAPSULE or k == prim.CYLINDER:
@@ -118,7 +144,7 @@ def prim_blocks(shape: prim.Shape, r, p):
             r3 = jnp.concatenate([-bx, jnp.array([-hl, 0.0], dtype=dt)])[None, :]
             r4 = jnp.concatenate([bx, jnp.array([-hl, 0.0], dtype=dt)])[None, :]
             G_ort = jnp.concatenate([cap_rows, r3, r4], axis=0)
-            bxr = bx @ rw
+            bxr = jnp.sum(bx * rw)
             h_ort = jnp.stack([jnp.zeros((), dt), jnp.zeros((), dt), -bxr, bxr])
         return G_ort, h_ort, G_soc, h_soc
 
@@ -129,11 +155,11 @@ def prim_blocks(shape: prim.Shape, r, p):
         P2 = jnp.asarray(shape.A_np(), dtype=dt)
         G_ort = jnp.zeros((0, 4), dtype=dt)
         h_ort = jnp.zeros((0,), dtype=dt)
-        PQt = P2 @ Q.T
+        PQt = _mmT(P2, Q)
         top = jnp.array([[0.0, 0.0, 0.0, -1.0]], dtype=dt)
         bot = jnp.concatenate([-PQt, jnp.zeros((3, 1), dtype=dt)], axis=1)
         G_soc = jnp.concatenate([top, bot], axis=0)
-        h_soc = jnp.concatenate([jnp.zeros((1,), dtype=dt), -PQt @ rw])
+        h_soc = jnp.concatenate([jnp.zeros((1,), dtype=dt), -_mv(PQt, rw)])
         return G_ort, h_ort, G_soc, h_soc
 
     if k == prim.POLYGON:

@@ -81,7 +81,10 @@ def envelope_gradient(s1: Shape, s2: Shape, pl, x, z, r1, p1, r2, p2,
 
     def lagrangian(r1_, p1_, r2_, p2_):
         _, G, h = assembly.assemble_pair(s1, s2, pl, r1_, p1_, r2_, p2_)
-        return jnp.sum(z * (jnp.einsum("...rv,...v->...r", G, x) - h), axis=-1)
+        # elementwise Gx (contraction dim nv <= 6): keeps the tiny dot (and
+        # its AD transpose) off XLA:TPU's padded-MXU path
+        Gx = jnp.sum(G * x[..., None, :], axis=-1)
+        return jnp.sum(z * (Gx - h), axis=-1)
 
     grads = jax.grad(lambda *a: jnp.sum(lagrangian(*a)), argnums=argnums)
     return grads(r1, p1, r2, p2)

@@ -261,9 +261,10 @@ class CollisionScene:
             lags = []
             for gi in range(len(grouped)):
                 _, G_, h_ = grouped[gi]
-                lags.append(jnp.sum(
-                    zs_[gi] * (jnp.einsum("orv,ov->or", G_, xs_[gi]) - h_),
-                    axis=-1))
+                # elementwise Gx (nv <= 6 contraction): avoid the padded-MXU
+                # small-dot path under jacfwd
+                Gx_ = jnp.sum(G_ * xs_[gi][..., None, :], axis=-1)
+                lags.append(jnp.sum(zs_[gi] * (Gx_ - h_), axis=-1))
             return jnp.concatenate(lags)[jnp.asarray(self.inv_perm)]
 
         return jax.vmap(jax.jacfwd(lag_vec, argnums=(0, 1)))(rs, ps, xs, zs)
