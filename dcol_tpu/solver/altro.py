@@ -141,6 +141,33 @@ def _where(pred, a, b):
         if x.ndim else jnp.where(pred, x, y), a, b)
 
 
+# Tiny-matrix products written elementwise (unrolled over the static
+# contraction dim, nx/nu <= 12): XLA:TPU lowers small dot_generals to padded
+# MXU ops, which dominated the Riccati scan's cost (same pathology as the
+# round-3 A-B-A Jacobian chain; see geometry/mrp.py).
+
+def _mm(A, B):
+    """A @ B, A (..., n, k), B (..., k, m)."""
+    return sum(A[..., j:j + 1] * B[..., j, :][..., None, :]
+               for j in range(A.shape[-1]))
+
+
+def _mtm(A, B):
+    """A.T @ B, A (..., k, n), B (..., k, m) -> (..., n, m)."""
+    return sum(A[..., j, :, None] * B[..., j, None, :]
+               for j in range(A.shape[-2]))
+
+
+def _mv(A, v):
+    """A @ v, A (..., n, k), v (..., k) -> (..., n)."""
+    return sum(A[..., :, j] * v[..., j, None] for j in range(A.shape[-1]))
+
+
+def _mtv(A, v):
+    """A.T @ v, A (..., k, n), v (..., k) -> (..., n)."""
+    return sum(A[..., j, :] * v[..., j, None] for j in range(A.shape[-2]))
+
+
 def eval_mask(mu, h):
     """AL active mask: active iff the dual is positive or the constraint is
     violated (ALTRO.py:16-31)."""
@@ -155,9 +182,9 @@ def quad_cost(sys, params, X, U):
     """Sum of LQR tracking terms (running + terminal), ALTRO.py:148-180."""
     dX = X - params["Xref"]
     dU = U - params["Uref"]
-    run_x = 0.5 * jnp.einsum("ti,ij,tj->", dX[:-1], params["Q"], dX[:-1])
-    run_u = 0.5 * jnp.einsum("ti,ij,tj->", dU, params["R"], dU)
-    term = 0.5 * dX[-1] @ params["Qf"] @ dX[-1]
+    run_x = 0.5 * jnp.sum(dX[:-1] * _mv(params["Q"], dX[:-1]))
+    run_u = 0.5 * jnp.sum(dU * _mv(params["R"], dU))
+    term = 0.5 * jnp.sum(dX[-1] * _mv(params["Qf"], dX[-1]))
     return run_x + run_u + term
 
 
@@ -168,7 +195,7 @@ def al_cost(params, X, hx, hu, mu, mux, lambd, rho):
     mask_x = eval_mask(mux, hx)
     c_x = jnp.sum(mux * hx) + 0.5 * rho * jnp.sum(mask_x * hx * hx)
     dxN = X[-1] - params["Xref"][-1]
-    c_g = lambd @ dxN + 0.5 * rho * dxN @ dxN
+    c_g = jnp.sum(lambd * dxN) + 0.5 * rho * jnp.sum(dxN * dxN)
     return c_u + c_x + c_g
 
 
@@ -218,20 +245,19 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
     mask_u = eval_mask(mu, hu)                       # (N-1, ncu)
 
     dX = X - params["Xref"]
-    l_x = jnp.einsum("ij,tj->ti", Q, dX[:-1]) + jnp.einsum(
-        "tci,tc->ti", gx[:-1], mux[:-1] + rho * mask_x[:-1] * hx[:-1])
-    l_xx = Q[None] + rho * jnp.einsum(
-        "tci,tc,tcj->tij", gx[:-1], mask_x[:-1], gx[:-1])
+    wx = mux[:-1] + rho * mask_x[:-1] * hx[:-1]      # (N-1, ncx)
+    l_x = _mv(Q, dX[:-1]) + jnp.sum(gx[:-1] * wx[..., None], axis=-2)
+    l_xx = Q[None] + rho * _mtm(gx[:-1] * mask_x[:-1, :, None], gx[:-1])
     dU = U - params["Uref"]
-    l_u = jnp.einsum("ij,tj->ti", R, dU) + jnp.einsum(
-        "tci,tc->ti", gu, mu + rho * mask_u * hu)
-    l_uu = R[None] + rho * jnp.einsum("tci,tc,tcj->tij", gu, mask_u, gu)
+    wu = mu + rho * mask_u * hu
+    l_u = _mv(R, dU) + jnp.sum(gu * wu[..., None], axis=-2)
+    l_uu = R[None] + rho * _mtm(gu * mask_u[..., None], gu)
 
     # terminal value function incl. AL state + goal terms (ALTRO.py:267-287)
-    Vx_N = (Qf @ dX[-1]
-            + gx[-1].T @ (mux[-1] + rho * mask_x[-1] * hx[-1])
+    Vx_N = (_mv(Qf, dX[-1])
+            + _mtv(gx[-1], mux[-1] + rho * mask_x[-1] * hx[-1])
             + lambd + rho * dX[-1])
-    Vxx_N = (Qf + rho * jnp.einsum("ci,c,cj->ij", gx[-1], mask_x[-1], gx[-1])
+    Vxx_N = (Qf + rho * _mtm(gx[-1] * mask_x[-1][:, None], gx[-1])
              + rho * jnp.eye(nx, dtype=dt))
 
     I_nx = jnp.eye(nx, dtype=dt)
@@ -240,18 +266,21 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
         Vx, Vxx, dJ = carry
         A_t, B_t, lx_t, lu_t, lxx_t, luu_t = inp
         Vxx_r = Vxx + reg * I_nx
-        Qx = lx_t + A_t.T @ Vx
-        Qu = lu_t + B_t.T @ Vx
-        Quu = luu_t + B_t.T @ Vxx_r @ B_t
-        Qux = B_t.T @ Vxx_r @ A_t
+        VA = _mm(Vxx_r, A_t)
+        VB = _mm(Vxx_r, B_t)
+        Qu = lu_t + _mtv(B_t, Vx)
+        Quu = luu_t + _mtm(B_t, VB)
+        Qux = _mtm(B_t, VA)
         L = chol.chol_factor(Quu)
         k_t = chol.chol_solve(L, Qu)
-        K_t = chol.chol_solve(L, Qux.T).T  # broadcast solve over nx columns
-        Abar = A_t - B_t @ K_t
-        Vxx_new = lxx_t + K_t.T @ luu_t @ K_t + Abar.T @ Vxx @ Abar
-        Vx_new = (lx_t - K_t.T @ lu_t + K_t.T @ luu_t @ k_t
-                  + Abar.T @ (Vx - Vxx @ (B_t @ k_t)))
-        dJ = dJ + Qu @ k_t
+        K_t = chol.chol_solve(L, jnp.swapaxes(Qux, -1, -2)).T
+        Abar = A_t - _mm(B_t, K_t)
+        luuK = _mm(luu_t, K_t)
+        Vxx_new = lxx_t + _mtm(K_t, luuK) + _mtm(Abar, _mm(Vxx, Abar))
+        Bk = _mv(B_t, k_t)
+        Vx_new = (lx_t - _mtv(K_t, lu_t) + _mtv(K_t, _mv(luu_t, k_t))
+                  + _mtv(Abar, Vx - _mv(Vxx, Bk)))
+        dJ = dJ + jnp.sum(Qu * k_t, axis=-1)
         return (Vx_new, Vxx_new, dJ), (K_t, k_t)
 
     # unroll: the per-step tensors are tiny (nx<=12), so the scan is
@@ -274,7 +303,7 @@ def rollout(sys, params, X, U, K, k, alpha, unroll: int = 8):
 
     def step(x, inp):
         X_t, U_t, K_t, k_t, t = inp
-        u = U_t - K_t @ (x - X_t) - alpha * k_t
+        u = U_t - _mv(K_t, x - X_t) - alpha * k_t
         x_next = sys.discrete_dynamics(params, x, u, t)
         return x_next, (x, u)
 
