@@ -54,8 +54,8 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     argv = sys.argv[1:]
-    usage = ("usage: bench_mpc.py [--block B] [--segment S] [n_scenarios]"
-             " [n_steps] [horizon_N] [max_iters_per_tick]")
+    usage = ("usage: bench_mpc.py [--block B] [--segment S] [--track]"
+             " [n_scenarios] [n_steps] [horizon_N] [max_iters_per_tick]")
 
     def flag(name):
         if name not in argv:
@@ -68,6 +68,9 @@ def main():
         del argv[i:i + 2]
         return v
 
+    tracked = "--track" in argv
+    if tracked:
+        argv.remove("--track")
     block = flag("--block")
     segment = flag("--segment")
     if block is not None and segment is not None:
@@ -102,17 +105,49 @@ def main():
         mesh = scenario_mesh()
         x0s = jax.device_put(x0s, NamedSharding(mesh, P("scenario", None)))
 
-    one = lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, n_steps)
+    xref_path = None
+    if tracked:
+        # Sliding reachable reference (--track): the offline CONVERGED plan
+        # at the full reference horizon (N=100, collision-free, dynamically
+        # feasible) becomes the tracked path; tick k regulates to its
+        # [k, k+horizon) window.  Every window end is then actually
+        # attainable within the horizon, so per-tick convio measures SOLVER
+        # quality — unlike fixed-goal regulation, where the goal-gap term of
+        # a ~15 m-away goal dominates convio on a 3.2 s horizon
+        # (docs/SCALING.md §3c, round-4 sweep).
+        from dcol_tpu.parallel.batch import solve_single
+
+        sys_f, params_f, X0_f, U0_f, cfg_f = quadrotor.make_problem(
+            dtype=jnp.float32)  # reference horizon N=100
+        st_off = solve_single(sys_f, params_f, cfg_f, X0_f, U0_f)
+        ok = bool(jax.device_get(st_off.converged))
+        print(f"offline plan: converged={ok}, "
+              f"iters={int(jax.device_get(st_off.iter))}", file=sys.stderr)
+        assert ok, "offline reference plan must converge"
+        path = jax.device_get(st_off.X)
+        need = n_steps + horizon
+        if need > path.shape[0]:
+            import numpy as _np
+            path = _np.concatenate(
+                [path, _np.repeat(path[-1:], need - path.shape[0], axis=0)])
+        xref_path = jnp.asarray(path[:need], jnp.float32)
+
+    one = lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, n_steps,
+                                 xref_path=xref_path)
     steps_executed = n_steps  # segmented resume overwrites (see run below)
     if segment is not None and segment < n_steps and n_steps % segment == 0:
         # segmented dispatches: S steps per XLA execution, resume state
         # carried across dispatches (bounds per-dispatch device runtime)
         n_seg = n_steps // segment
         run_first = jax.jit(jax.vmap(
-            lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, segment)))
+            lambda x0: mpc.mpc_run(sys_, params, cfg, x0, U0, segment,
+                                   xref_path=xref_path)))
+        # k0 is a traced scalar: ONE compiled program serves every segment
         run_next = jax.jit(jax.vmap(
-            lambda c: mpc.mpc_run(sys_, params, cfg, c.x, U0, segment,
-                                  resume_from=c)))
+            lambda c, k0: mpc.mpc_run(sys_, params, cfg, c.x, U0, segment,
+                                      resume_from=c, xref_path=xref_path,
+                                      k0=k0),
+            in_axes=(0, None)))
 
         def seg_path(k):
             import os
@@ -156,7 +191,8 @@ def main():
             steps_executed = (n_seg - k0) * segment
             outs = []
             for k in range(k0, n_seg):
-                out = run_first(x0s) if carry is None else run_next(carry)
+                out = run_first(x0s) if carry is None else run_next(
+                    carry, jnp.int32(k * segment))
                 carry = out.final
                 if ckpt_dir is not None:
                     jax.block_until_ready(carry.x)
@@ -203,7 +239,10 @@ def main():
     # quality evidence (untimed): per-tick plan violation, collision margin
     # at the applied states, and closed-loop goal error — anytime ticks only
     # count if the plans are good (docs/SCALING.md §3b)
-    xg = params["Xref"][-1][0:3]
+    # tracked mode: the closed loop should sit at the path's tick-n_steps
+    # point, not at the (far) fixed goal
+    xg = (xref_path[n_steps][0:3] if tracked
+          else params["Xref"][-1][0:3])
     f32 = jnp.float32
     quality = jax.device_get(jnp.stack([
         jnp.all(jnp.isfinite(out.X_applied)).astype(f32),
@@ -234,6 +273,7 @@ def main():
         "max_iters_per_tick": tick_iters,
         "devices": n_dev, "sharded": sharded, "block": block,
         "segment": segment, "ckpt": ckpt_dir is not None,
+        "tracked": tracked,
         "steps_executed": steps_executed,
         "wall_s": round(wall, 3),
         "mpc_ticks_per_s": round(ticks / wall, 1),

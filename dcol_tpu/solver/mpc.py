@@ -70,8 +70,7 @@ def _shift(a):
     return jnp.concatenate([a[1:], a[-1:]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("sys", "cfg", "n_steps", "carry_duals",
-                                   "k0"))
+@partial(jax.jit, static_argnames=("sys", "cfg", "n_steps", "carry_duals"))
 def mpc_run(sys, params, cfg: altro.AltroConfig, x0, U_init,
             n_steps: int, noise: Optional[jnp.ndarray] = None,
             xref_path: Optional[jnp.ndarray] = None,
@@ -88,7 +87,8 @@ def mpc_run(sys, params, cfg: altro.AltroConfig, x0, U_init,
     tick (False = U-only warm start, duals restart at zero).
     resume_from: a checkpointed :class:`MpcCarry` — continue a previous run
     (x0/U_init are then ignored); with a windowed ``xref_path`` also pass
-    ``k0`` = number of ticks already run so the reference window lines up."""
+    ``k0`` = number of ticks already run so the reference window lines up
+    (a traced scalar — segmented dispatches reuse one compiled program)."""
     dt = U_init.dtype
     nx, N = sys.nx, sys.N
 
