@@ -38,7 +38,9 @@ def main():
     from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
     from dcol_tpu.systems import quadrotor
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # 128 is the measured throughput plateau (docs/SCALING.md §1 round-5
+    # curve: 64 -> 198, 128 -> 242, flat to 250 at 1024); 64 sat ~20% below
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     log(f"devices: {jax.devices()}  batch={batch}")
 
     sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)

@@ -63,8 +63,16 @@ def iteration_table(state, limit: int | None = None) -> str:
     if limit:
         n = min(n, limit)
     m = state.metrics
-    lines = ["iter     J           dJ        |d|         a        reg"
-             "         rho", "-" * 69]
+    lines = []
+    if int(state.iter) > state.metrics.J.shape[0]:
+        nb = state.metrics.J.shape[0]
+        lines.append(
+            f"[metrics buffer truncated: {int(state.iter)} iterations ran "
+            f"but the buffer holds {nb}; iterations {nb}..{int(state.iter)} "
+            f"all wrote the last slot — raise AltroConfig.metrics_len for "
+            "the full history]")
+    lines += ["iter     J           dJ        |d|         a        reg"
+              "         rho", "-" * 69]
     for i in range(n):
         lines.append(
             f"{i+1:3d}   {float(m.J[i]):10.3e}  {float(m.delta_J[i]):9.2e}"

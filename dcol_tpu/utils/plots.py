@@ -233,6 +233,14 @@ def plot_history(system: str, history, dt: float, every: int = 10):
 def plot_all(system: str, sys_, st):
     """Render every diagnostic plot from a finished AltroState."""
     n = int(min(int(st.iter), st.metrics.J.shape[0]))
+    if int(st.iter) > st.metrics.J.shape[0]:
+        import warnings
+
+        warnings.warn(
+            f"metrics buffer truncated ({int(st.iter)} iterations, buffer "
+            f"{st.metrics.J.shape[0]}): history plots cover the first "
+            f"{st.metrics.J.shape[0] - 1} iterations plus the final one; "
+            "raise AltroConfig.metrics_len for the full history")
     m = st.metrics
     plot_cost(system, np.asarray(m.J)[:n])
     plot_regularization(system, np.asarray(m.reg)[:n], np.asarray(m.rho)[:n])

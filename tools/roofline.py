@@ -53,10 +53,11 @@ def _walk(jaxpr, tally):
                     if hasattr(s, "jaxpr"):
                         _walk(s.jaxpr, tally)
         name = eqn.primitive.name
-        if name in ("pjit", "closed_call", "custom_jvp_call",
+        if name in ("pjit", "jit", "closed_call", "custom_jvp_call",
                     "custom_vjp_call", "remat", "checkpoint", "scan",
                     "while", "cond"):
-            continue  # handled via params above
+            continue  # handled via params above (counting the call
+            # primitive's outputs too would double-count its body)
         outs = [v.aval for v in eqn.outvars if hasattr(v.aval, "shape")]
         if not outs:
             continue
