@@ -78,13 +78,21 @@ def _soc_prod(u, v):
                      for ui, vi in zip(u[1:], v[1:])]
 
 
-def _soc_inv_prod(u, w):
+def _soc_inv_pre(u):
+    """Reciprocal factors of the SOC inverse product that depend on ``u``
+    only — cached across the 2 ``inv_prod`` calls per Mehrotra iteration
+    (VPU divides are multi-cycle)."""
     rho = _soc_quad(u)
     inv_rho = 1.0 / rho
     inv_u0 = 1.0 / u[0]
+    b = rho * inv_u0 * inv_rho
+    return inv_rho, inv_u0, b
+
+
+def _soc_inv_prod(u, w, pre=None):
+    inv_rho, inv_u0, b = _soc_inv_pre(u) if pre is None else pre
     nu = _rsum([ui * wi for ui, wi in zip(u[1:], w[1:])])
     a = (nu * inv_u0 - w[0]) * inv_rho
-    b = rho * inv_u0 * inv_rho
     head = (u[0] * w[0] - nu) * inv_rho
     return [head] + [a * ui + b * wi for ui, wi in zip(u[1:], w[1:])]
 
@@ -117,14 +125,24 @@ def _soc_apply(eta_pair, wbar, v, inverse):
                              for vi, wi in zip(v[1:], wbar[1:])]
 
 
-def _soc_linesearch(y, d):
+def _soc_ls_pre(y):
+    """Line-search factors that depend on the current iterate ``y`` only —
+    cached across the affine + combined searches in one iteration (``s`` and
+    ``z`` each feed 2 ``linesearch`` calls)."""
     nu = jnp.maximum(_soc_quad(y), _TINY)
     inv_nu = 1.0 / nu
     rsq = jax.lax.rsqrt(nu)  # 1/sqrt(nu)
+    inv_den = 1.0 / (y[0] * rsq + 1.0)
+    y_in = [yi * inv_nu for yi in y[1:]]
+    return inv_nu, rsq, inv_den, y_in
+
+
+def _soc_linesearch(y, d, pre=None):
+    inv_nu, rsq, inv_den, y_in = _soc_ls_pre(y) if pre is None else pre
     zeta = y[0] * d[0] - _rsum([yi * di for yi, di in zip(y[1:], d[1:])])
     rho0 = zeta * inv_nu
-    coef = (zeta * rsq + d[0]) / (y[0] * rsq + 1.0)
-    rv = [di * rsq - coef * yi * inv_nu for yi, di in zip(y[1:], d[1:])]
+    coef = (zeta * rsq + d[0]) * inv_den
+    rv = [di * rsq - coef * yi for yi, di in zip(y_in, d[1:])]
     rnorm = jnp.sqrt(_rsum([ri * ri for ri in rv]))
     lim = 1.0 / jnp.maximum(rnorm - rho0, _TINY)
     return jnp.where(rnorm > rho0, jnp.minimum(1.0, lim), 1.0)
@@ -143,10 +161,19 @@ def _make_cone_ops(kinds):
             [ui * vi for ui, vi in zip(u[i], v[i])] if kinds[i] == "ort"
             else _soc_prod(u[i], v[i]) for i in range(n_blocks))
 
-    def inv_prod(lam, v):
+    def inv_prod_pre(lam):
+        """Factors of ``inv_prod`` that depend on ``lam`` only (reciprocals;
+        cached across the 2 calls per Mehrotra iteration)."""
         return tuple(
-            [vi / li for vi, li in zip(v[i], lam[i])] if kinds[i] == "ort"
-            else _soc_inv_prod(lam[i], v[i]) for i in range(n_blocks))
+            [1.0 / li for li in lam[i]] if kinds[i] == "ort"
+            else _soc_inv_pre(lam[i]) for i in range(n_blocks))
+
+    def inv_prod(lam, v, pre=None):
+        if pre is None:
+            pre = inv_prod_pre(lam)
+        return tuple(
+            [vi * ri for vi, ri in zip(v[i], pre[i])] if kinds[i] == "ort"
+            else _soc_inv_prod(lam[i], v[i], pre[i]) for i in range(n_blocks))
 
     def nt(s, z):
         out = []
@@ -193,7 +220,13 @@ def _make_cone_ops(kinds):
                 acc = f if acc is None else acc & f
         return acc
 
-    def linesearch(x, dx):
+    def ls_pre(y):
+        """Per-block line-search factors depending on the iterate only
+        (``s``/``z`` each feed the affine AND combined searches)."""
+        return tuple(None if kinds[i] == "ort" else _soc_ls_pre(y[i])
+                     for i in range(n_blocks))
+
+    def linesearch(x, dx, pre=None):
         a = None
         for i in range(n_blocks):
             if kinds[i] == "ort":
@@ -203,7 +236,8 @@ def _make_cone_ops(kinds):
                           for xi, di in zip(x[i], dx[i])]
                 ai = jnp.minimum(1.0, _rmin(ratios))
             else:
-                ai = _soc_linesearch(x[i], dx[i])
+                ai = _soc_linesearch(x[i], dx[i],
+                                     None if pre is None else pre[i])
             a = ai if a is None else jnp.minimum(a, ai)
         return a
 
@@ -238,8 +272,8 @@ def _make_cone_ops(kinds):
                 out.append([u[i][0] + sm] + list(u[i][1:]))
         return tuple(out)
 
-    return (prod, inv_prod, nt, W_apply, dot, axpy, select, finite,
-            linesearch, bring2cone, add_head)
+    return (prod, inv_prod, inv_prod_pre, nt, W_apply, dot, axpy, select,
+            finite, linesearch, ls_pre, bring2cone, add_head)
 
 
 def _layout_blocks(lay: ConeLayout):
@@ -310,8 +344,8 @@ def _make_math(lay: ConeLayout, nv: int, tol: float, jitter: float):
     kinds = tuple(b[0] for b in blocks)
     degree = lay.degree
     ops = _make_cone_ops(kinds)
-    (cone_prod, inv_cone_prod, nt, W_app, dot, axpy, select, finite,
-     linesearch, bring2cone, add_head) = ops
+    (cone_prod, inv_cone_prod, inv_cone_prod_pre, nt, W_app, dot, axpy,
+     select, finite, linesearch, ls_pre, bring2cone, add_head) = ops
     nb = len(blocks)
 
     def matvec(cols, x):
@@ -386,8 +420,11 @@ def _make_math(lay: ConeLayout, nv: int, tol: float, jitter: float):
                                 for i in range(nb)))
             return dx, ds, dz
 
-        dx_a, ds_a, dz_a = newton(inv_cone_prod(lam, neg(lam_lam)))
-        a_aff = jnp.minimum(linesearch(s, ds_a), linesearch(z, dz_a))
+        lam_pre = inv_cone_prod_pre(lam)
+        s_pre, z_pre = ls_pre(s), ls_pre(z)
+        dx_a, ds_a, dz_a = newton(inv_cone_prod(lam, neg(lam_lam), lam_pre))
+        a_aff = jnp.minimum(linesearch(s, ds_a, s_pre),
+                            linesearch(z, dz_a, z_pre))
         rho = (dot(axpy(a_aff, s, ds_a), axpy(a_aff, z, dz_a))
                / dot(s, z))
         sigma = jnp.clip(rho, 0.0, 1.0) ** 3
@@ -397,10 +434,10 @@ def _make_math(lay: ConeLayout, nv: int, tol: float, jitter: float):
         ds_rhs = add_head(
             tuple([-li - ci for li, ci in zip(lam_lam[i], comb[i])]
                   for i in range(nb)), sm)
-        dx_c, ds_c, dz_c = newton(inv_cone_prod(lam, ds_rhs))
+        dx_c, ds_c, dz_c = newton(inv_cone_prod(lam, ds_rhs, lam_pre))
         a = jnp.minimum(
-            1.0, 0.99 * jnp.minimum(linesearch(s, ds_c),
-                                    linesearch(z, dz_c)))
+            1.0, 0.99 * jnp.minimum(linesearch(s, ds_c, s_pre),
+                                    linesearch(z, dz_c, z_pre)))
 
         xn = [x[v] + a * dx_c[v] for v in range(nv)]
         sn = axpy(a, s, ds_c)

@@ -48,6 +48,13 @@ class ProximityOptions:
     # re-solving.  Larger = more robust, but every warm solve then pays
     # iterations re-converging from the shifted point.
     warm_margin: float = 1e-3
+    # Interior margin for the backward pass's POLISH solve specifically: it
+    # re-solves at the SAME trajectory its warm start converged at (the
+    # accepted candidate's solution — AltroState.warm invariant), so the
+    # shift is pure re-convergence work; a much smaller margin suffices and
+    # saves ~1 Mehrotra iteration per polish batch.  The forward probe's
+    # warm start crosses a trajectory CHANGE and keeps the robust margin.
+    polish_margin: float = 1e-4
     # Latency mode: merge ALL obstacle groups into ONE padded-layout batch
     # (the scene-wide (nv, n_ort, S_PAD, S_PAD) shape, provably equivalent —
     # assembly.py module docstring) so every constraint batch is a single
@@ -166,12 +173,15 @@ class CollisionScene:
         return out
 
     # -- solver dispatch --------------------------------------------------
-    def _solve(self, c, G, h, lay: ConeLayout, warm=None, skip=None):
+    def _solve(self, c, G, h, lay: ConeLayout, warm=None, skip=None,
+               margin=None):
         """Solve a flat batch of pair problems with the configured backend.
         c/G/h have one leading batch dim; ``warm`` is an optional (x, s, z)
         triple from a previous nearby solve; ``skip`` (bool, broadcastable to
         the batch) marks members whose result the caller discards — they
-        cost zero solver iterations (see solve_socp)."""
+        cost zero solver iterations (see solve_socp).  ``margin`` overrides
+        the warm-start interior margin (static)."""
+        wm = self.opts.warm_margin if margin is None else margin
         if self.opts.backend == "pallas":
             from dcol_tpu.ops.pdip_pallas import solve_socp_pallas
 
@@ -179,13 +189,14 @@ class CollisionScene:
                 c, G, h, lay, tol=self.opts.tol,
                 max_iters=self.opts.max_iters, jitter=self.opts.jitter,
                 block=self.opts.block, warm=warm, skip=skip,
-                warm_margin=self.opts.warm_margin)
+                warm_margin=wm)
         return solve_socp(c, G, h, lay, tol=self.opts.tol,
                           max_iters=self.opts.max_iters,
                           jitter=self.opts.jitter, warm=warm, skip=skip,
-                          warm_margin=self.opts.warm_margin)
+                          warm_margin=wm)
 
-    def _solve_groups_traj(self, rs, ps, obs_r, obs_p, warm=None, skip=None):
+    def _solve_groups_traj(self, rs, ps, obs_r, obs_p, warm=None, skip=None,
+                           margin=None):
         """One batched solve PER GROUP over a trajectory of poses (T, 3).
         Returns (list of per-group solutions with flat (T*n_g) batch,
         warm tuple).  ``warm`` is the matching tuple from a previous call;
@@ -204,7 +215,8 @@ class CollisionScene:
                       jnp.reshape(skip, (-1, 1)), (T, n_g)).reshape(T * n_g))
             sols.append(self._solve(
                 flat(c), flat(G), flat(h),
-                ConeLayout(lay.n_ort, lay.s1, lay.s2), warm=w, skip=sk))
+                ConeLayout(lay.n_ort, lay.s1, lay.s2), warm=w, skip=sk,
+                margin=margin))
         return sols, tuple((s.x, s.s, s.z) for s in sols)
 
     def _gather_cols(self, per_group, T):
@@ -232,14 +244,14 @@ class CollisionScene:
         return a, new_warm
 
     def alphas_and_grads_traj(self, rs, ps, obs_r, obs_p, warm=None,
-                              skip=None):
+                              skip=None, margin=None):
         """(alphas (T, n_obs), d_r (T, n_obs, 3), d_p (T, n_obs, 3), warm) in
         one fused set of group solves over the whole trajectory; gradients
         via the envelope theorem with (x*, z*) frozen
         (proximity_gradient.py:50-88)."""
         T = rs.shape[0]
         sols, new_warm = self._solve_groups_traj(rs, ps, obs_r, obs_p, warm,
-                                                 skip=skip)
+                                                 skip=skip, margin=margin)
         xs = tuple(jax.lax.stop_gradient(s.x).reshape(T, -1, s.x.shape[-1])
                    for s in sols)
         zs = tuple(jax.lax.stop_gradient(s.z).reshape(T, -1, s.z.shape[-1])
@@ -377,10 +389,14 @@ class System:
 
     def constraints_x_vg_traj(self, params, X, warm=None, skip=None):
         """(h (T, ncx), dh/dx (T, ncx, nx), warm) for a state trajectory in
-        one fused batched solve."""
+        one fused batched solve.  This is the backward pass's POLISH path:
+        with a warm start (the accepted candidate's converged solution at
+        exactly this X) the re-solve uses the smaller ``polish_margin``."""
         rs, ps = jax.vmap(self.robot_pose)(X)
+        margin = self.scene.opts.polish_margin if warm is not None else None
         a, d_r, d_p, new_warm = self.scene.alphas_and_grads_traj(
-            rs, ps, params["obs_r"], params["obs_p"], warm=warm, skip=skip)
+            rs, ps, params["obs_r"], params["obs_p"], warm=warm, skip=skip,
+            margin=margin)
         rows = jax.vmap(self.pose_jacobian_rows)(X, d_r, d_p)
         return 1.0 - a, rows, new_warm
 

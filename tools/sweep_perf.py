@@ -3,8 +3,8 @@
 Each config is a fresh jit (one compile each); walls are median-of-3 timed
 reps after an untimed warm rep, one fused device fetch per rep.
 
-Usage: python tools/sweep_perf.py [C:margin ...]
-       e.g. python tools/sweep_perf.py 4:1e-3 4:1e-4 8:1e-4
+Usage: python tools/sweep_perf.py [C:margin[:polish[:block[:batch]]] ...]
+       e.g. python tools/sweep_perf.py 4:1e-3 4:1e-3:1e-4 4:1e-3:1e-4:2048
 """
 
 import dataclasses
@@ -19,15 +19,18 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(C, margin, batch=64, reps=3):
+def measure(C, margin, polish=None, block=None, batch=64, reps=3):
     from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
     from dcol_tpu.systems import quadrotor
 
     sys_, params, X0, U0, cfg = quadrotor.make_problem(dtype=jnp.float32)
+    opts = sys_.scene.opts
+    opts = dataclasses.replace(
+        opts, warm_margin=margin,
+        polish_margin=opts.polish_margin if polish is None else polish,
+        block=opts.block if block is None else block)
     sys_ = dataclasses.replace(
-        sys_, scene=dataclasses.replace(
-            sys_.scene, opts=dataclasses.replace(
-                sys_.scene.opts, warm_margin=margin)))
+        sys_, scene=dataclasses.replace(sys_.scene, opts=opts))
     cfg = dataclasses.replace(cfg, ls_parallel=C)
 
     def fetch(st):
@@ -37,10 +40,12 @@ def measure(C, margin, batch=64, reps=3):
 
     inputs = [perturb_scenarios(params, X0, U0, n=batch, seed=r + 1,
                                 x0_sigma=0.02) for r in range(reps + 1)]
+    tag = (f"C={C} margin={margin} polish={polish} block={block} "
+           f"batch={batch}")
     t0 = time.time()
     pb, xb, ub = inputs[0]
     c0, mi0 = fetch(solve_batch(sys_, pb, cfg, xb, ub))
-    print(f"C={C} margin={margin}: compile+warm {time.time()-t0:.0f}s, "
+    print(f"{tag}: compile+warm {time.time()-t0:.0f}s, "
           f"conv {int(c0)}/{batch}, mean iters {mi0:.1f}",
           file=sys.stderr, flush=True)
     walls = []
@@ -50,7 +55,7 @@ def measure(C, margin, batch=64, reps=3):
         c, mi = fetch(solve_batch(sys_, pb, cfg, xb, ub))
         walls.append(time.time() - t0)
     wall = statistics.median(walls)
-    print(f"C={C} margin={margin}: {batch/wall:.1f} solves/s "
+    print(f"{tag}: {batch/wall:.1f} solves/s "
           f"(walls {[round(w, 2) for w in walls]}, conv {int(c)}, "
           f"iters {mi:.1f})", flush=True)
     return batch / wall
@@ -60,8 +65,12 @@ def main():
     specs = sys.argv[1:] or ["4:1e-3", "4:1e-4", "8:1e-4"]
     out = {}
     for s in specs:
-        C, m = s.split(":")
-        out[s] = measure(int(C), float(m))
+        parts = s.split(":")
+        C, m = int(parts[0]), float(parts[1])
+        polish = float(parts[2]) if len(parts) > 2 and parts[2] else None
+        block = int(parts[3]) if len(parts) > 3 and parts[3] else None
+        batch = int(parts[4]) if len(parts) > 4 else 64
+        out[s] = measure(C, m, polish=polish, block=block, batch=batch)
     print({k: round(v, 1) for k, v in out.items()}, flush=True)
 
 
