@@ -227,8 +227,30 @@ def backward_pass(sys, params, X, U, mu, mux, lambd, rho, reg, warm=None,
     Q, R, Qf = params["Q"], params["R"], params["Qf"]
 
     ks = jnp.arange(N - 1)
-    A, B = jax.vmap(lambda x, u, k: sys.dynamics_jacobians(params, x, u, k))(
-        X[:-1], U, ks)
+    if getattr(sys, "fd_jacobians", False):
+        A, B = jax.vmap(
+            lambda x, u, k: sys.dynamics_jacobians(params, x, u, k))(
+                X[:-1], U, ks)
+    else:
+        # Exact forward-mode Jacobians with the TANGENT axis vmapped OUTSIDE
+        # the knot axis.  Same math as vmap(jacfwd) per knot, but the hot
+        # intermediates become (tangent=16, knots=99) instead of (99, 16):
+        # under the scenario vmap TPU tiles the two minor dims, so the knot
+        # axis lands on the 128-lane axis at 77% utilization instead of the
+        # tangent axis at 12% — the jaxpr is identical FLOPs, ~4x less
+        # padded issue (docs/PROFILE.md round-5b).
+        f = lambda X_, U_: jax.vmap(
+            lambda x, u, k: sys.discrete_dynamics(params, x, u, k))(
+                X_, U_, ks)
+
+        def push(e):
+            ex = jnp.broadcast_to(e[:nx], (N - 1, nx))
+            eu = jnp.broadcast_to(e[nx:], (N - 1, nu))
+            return jax.jvp(f, (X[:-1], U), (ex, eu))[1]  # (N-1, nx)
+
+        T = jax.vmap(push)(jnp.eye(nx + nu, dtype=dt))   # (nx+nu, N-1, nx)
+        A = jnp.moveaxis(T[:nx], 0, -1)                  # (N-1, nx, nx)
+        B = jnp.moveaxis(T[nx:], 0, -1)                  # (N-1, nx, nu)
 
     # constraint values + envelope gradients at X.  Default: one PDIP batch
     # warm-started from the accepted candidate's converged solution at this
