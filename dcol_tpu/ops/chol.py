@@ -49,16 +49,19 @@ def chol_solve(L, b):
     L: (..., n, n) lower-triangular; b: (..., n).
     """
     n = L.shape[-1]
+    # reciprocal diagonal once: each entry feeds the forward AND backward
+    # substitution (VPU divides are multi-cycle)
+    rd = [1.0 / L[..., i, i] for i in range(n)]
     y = [None] * n
     for i in range(n):
         s = b[..., i]
         for k in range(i):
             s = s - L[..., i, k] * y[k]
-        y[i] = s / L[..., i, i]
+        y[i] = s * rd[i]
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
             s = s - L[..., k, i] * x[k]
-        x[i] = s / L[..., i, i]
+        x[i] = s * rd[i]
     return jnp.stack(x, axis=-1)
