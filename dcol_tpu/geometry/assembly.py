@@ -321,3 +321,190 @@ def assemble_pair(s1: prim.Shape, s2: prim.Shape, layout: PairLayout,
     h = jnp.concatenate(hs)
     c = jnp.zeros((nv,), dtype=dt).at[3].set(1.0)
     return c, G, h
+
+
+# ---------------------------------------------------------------------------
+# Entry-wise assembly (batch-minor / kernel-tile layout)
+# ---------------------------------------------------------------------------
+#
+# The dense `assemble_pair` materialises (T, nr, nv) problem matrices in
+# knot-major layout (concatenates pin it), which the Pallas wrapper must then
+# TRANSPOSE to its batch-on-lanes tile layout — measured at ~3 ms per
+# batch-64 constraint call, dwarfing the PDIP math itself (docs/PROFILE.md
+# round-5c).  The entry-wise path below computes each (row, col) entry of
+# G/h as ONE scalar over the pose batch (python float where the entry is
+# pose-independent), so the caller can stack rows directly into the kernel's
+# (nv*nr, tiles, 128) operand with no transpose and no dense intermediate.
+# The arithmetic mirrors `prim_blocks`/`assemble_pair` formula-for-formula.
+
+def dcm_entries(p):
+    """3x3 nested list of DCM entries for MRP ``p`` with arbitrary leading
+    batch dims (same closed form as :func:`~dcol_tpu.geometry.mrp.dcm_from_mrp`,
+    entry-wise: nothing (3, 3)-shaped is materialised)."""
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    pp = px * px + py * py + pz * pz
+    inv_den = 1.0 / ((1.0 + pp) ** 2)
+    c4 = 4.0 * (1.0 - pp)
+    # S = skew(p); SS = p p' - pp I
+    Q = [[None] * 3 for _ in range(3)]
+    pv = (px, py, pz)
+    S = ((0.0, -pz, py), (pz, 0.0, -px), (-py, px, 0.0))
+    for i in range(3):
+        for j in range(3):
+            ss = pv[i] * pv[j] - (pp if i == j else 0.0)
+            s = S[i][j]
+            num = 8.0 * ss if isinstance(s, float) else 8.0 * ss + c4 * s
+            Q[i][j] = (1.0 if i == j else 0.0) + num * inv_den
+    return Q
+
+
+def _world_pose_entries(shape: prim.Shape, r, p):
+    """(r_w [3 scalars], Q [3][3] scalars) with the rigid-body offset applied;
+    identity/zero offsets skip the transform (cf. :func:`_world_pose`)."""
+    Q = dcm_entries(p)
+    rw = [r[..., 0], r[..., 1], r[..., 2]]
+    r_off = np.asarray(shape.r_offset, dtype=np.float64)
+    Q_off = np.asarray(shape.Q_offset, dtype=np.float64)
+    if not np.allclose(r_off, 0.0):
+        rw = [rw[i] + sum(Q[i][k] * float(r_off[k]) for k in range(3)
+                          if r_off[k] != 0.0) for i in range(3)]
+    if not np.allclose(Q_off, np.eye(3)):
+        Q = [[sum(Q[i][k] * float(Q_off[k, j]) for k in range(3)
+                  if Q_off[k, j] != 0.0) for j in range(3)]
+             for i in range(3)]
+    return rw, Q
+
+
+def prim_block_entries(shape: prim.Shape, r, p):
+    """Entry-wise :func:`prim_blocks`: (ort_rows, soc_rows), each row a
+    ``(cols, h)`` pair with ``cols`` a list of ``shape.n_vars`` entries.
+    Entries are python floats where pose-independent, else scalars carrying
+    the pose's batch dims."""
+    rw, Q = _world_pose_entries(shape, r, p)
+    k = shape.kind
+
+    if k == prim.POLYTOPE:
+        A = shape.A_np()
+        b = shape.b_np()
+        ort = []
+        for i in range(A.shape[0]):
+            aq = [sum(float(A[i, j]) * Q[c][j] for j in range(3)
+                      if A[i, j] != 0.0) for c in range(3)]
+            h = sum(aq[c] * rw[c] for c in range(3))
+            ort.append((aq + [-float(b[i])], h))
+        return ort, []
+
+    if k == prim.SPHERE:
+        soc = [([0.0, 0.0, 0.0, -float(shape.R)], 0.0)]
+        for i in range(3):
+            cols = [0.0] * 4
+            cols[i] = -1.0
+            soc.append((cols, -rw[i]))
+        return [], soc
+
+    if k == prim.CONE:
+        tb = float(np.tan(shape.beta))
+        d = (tb, 1.0, 1.0)
+        # EQt[i][j] = d_i * Q[j][i]
+        lc = (-tb * 3.0 * shape.H / 4.0, 0.0, 0.0)
+        soc = []
+        for i in range(3):
+            eq = [d[i] * Q[j][i] for j in range(3)]
+            soc.append(([-e for e in eq] + [float(lc[i])],
+                        -sum(eq[j] * rw[j] for j in range(3))))
+        bx = [Q[j][0] for j in range(3)]
+        ort = [(bx + [-shape.H / 4.0], sum(bx[j] * rw[j] for j in range(3)))]
+        return ort, soc
+
+    if k == prim.CAPSULE or k == prim.CYLINDER:
+        bx = [Q[j][0] for j in range(3)]
+        soc = [([0.0, 0.0, 0.0, -float(shape.R), 0.0], 0.0)]
+        for i in range(3):
+            cols = [0.0] * 5
+            cols[i] = -1.0
+            cols[4] = bx[i]
+            soc.append((cols, -rw[i]))
+        hl = shape.L / 2.0
+        ort = [([0.0, 0.0, 0.0, -hl, 1.0], 0.0),
+               ([0.0, 0.0, 0.0, -hl, -1.0], 0.0)]
+        if k == prim.CYLINDER:
+            bxr = bx[0] * rw[0] + bx[1] * rw[1] + bx[2] * rw[2]
+            ort.append(([-bx[0], -bx[1], -bx[2], -hl, 0.0], -bxr))
+            ort.append(([bx[0], bx[1], bx[2], -hl, 0.0], bxr))
+        return ort, soc
+
+    if k == prim.ELLIPSOID:
+        P2 = shape.A_np()
+        soc = [([0.0, 0.0, 0.0, -1.0], 0.0)]
+        for i in range(3):
+            pq = [sum(float(P2[i, j]) * Q[c][j] for j in range(3)
+                      if P2[i, j] != 0.0) for c in range(3)]
+            soc.append(([-q for q in pq] + [0.0],
+                        -sum(pq[c] * rw[c] for c in range(3))))
+        return [], soc
+
+    if k == prim.POLYGON:
+        A = shape.A_np()
+        b = shape.b_np()
+        ort = [([0.0, 0.0, 0.0, -float(b[i]), float(A[i, 0]),
+                 float(A[i, 1])], 0.0) for i in range(A.shape[0])]
+        soc = [([0.0, 0.0, 0.0, -float(shape.R), 0.0, 0.0], 0.0)]
+        for i in range(3):
+            cols = [0.0] * 6
+            cols[i] = -1.0
+            cols[4] = Q[i][0]
+            cols[5] = Q[i][1]
+            soc.append((cols, -rw[i]))
+        return ort, soc
+
+    raise ValueError(f"unknown primitive kind {k!r}")
+
+
+def assemble_pair_entries(s1: prim.Shape, s2: prim.Shape, layout: PairLayout,
+                          r1, p1, r2, p2):
+    """Entry-wise :func:`assemble_pair`: returns ``(c_cols, rows)`` with
+    ``c_cols`` the (static) objective column list and ``rows`` the
+    ``layout.nr`` rows ``(cols, h)`` in [orthant; soc1; soc2] order — same
+    semantics, no dense (nr, nv) materialisation."""
+    o1, s1r = prim_block_entries(s1, r1, p1)
+    o2, s2r = prim_block_entries(s2, r2, p2)
+    L = layout
+    nv = L.nv
+
+    def embed(cols, which):
+        out = [0.0] * nv
+        out[:4] = cols[:4]
+        extras = cols[4:]
+        if which == 1:
+            out[4:4 + len(extras)] = extras
+        else:
+            out[L.v1:L.v1 + len(extras)] = extras
+        return out
+
+    rows = [(embed(c, 1), h) for c, h in o1] + [(embed(c, 2), h)
+                                                for c, h in o2]
+    for j in range(L.v, nv):
+        e = [0.0] * nv
+        e[j] = 1.0
+        ne = [0.0] * nv
+        ne[j] = -1.0
+        rows += [(e, 1.0), (ne, 1.0)]
+    n_fill = L.n_ort - (L.n_ort1 + L.n_ort2 + L.n_box)
+    rows += [([0.0] * nv, 1.0)] * n_fill
+
+    def soc_rows(blk, which, true_dim, pad_dim):
+        if pad_dim == 0:
+            return []
+        if true_dim == 0:
+            return ([([0.0] * nv, 1.0)]
+                    + [([0.0] * nv, 0.0)] * (pad_dim - 1))
+        out = [(embed(c, which), h) for c, h in blk]
+        out += [([0.0] * nv, 0.0)] * (pad_dim - true_dim)
+        return out
+
+    rows += soc_rows(s1r, 1, L.soc1, L.s1)
+    rows += soc_rows(s2r, 2, L.soc2, L.s2)
+    assert len(rows) == L.nr, (len(rows), L)
+    c_cols = [0.0] * nv
+    c_cols[3] = 1.0
+    return c_cols, rows

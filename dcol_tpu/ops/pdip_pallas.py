@@ -536,13 +536,25 @@ def _make_kernel(lay: ConeLayout, nv: int, tol: float, max_iters: int,
     return kernel
 
 
+def tile_dims(B: int, block: int):
+    """(clamped block, padded batch) for the kernel's lane-tile geometry —
+    shared with the direct-tiled assembly builder
+    (:meth:`CollisionScene.assemble_groups_tiled`), which must pad batches
+    identically."""
+    block = max(128, min(block, -(-B // 128) * 128))
+    Bp = max(block, -(-B // block) * block)
+    return block, Bp
+
+
 @partial(jax.jit, static_argnames=("lay", "tol", "max_iters", "jitter",
-                                   "block", "interpret", "warm_margin"))
+                                   "block", "interpret", "warm_margin",
+                                   "batch_size"))
 def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                       max_iters: int = 30, jitter: float = 0.0,
                       block: int = 1024, interpret: bool = False,
                       warm=None, skip=None,
-                      warm_margin: float = 1e-3) -> SocpSolution:
+                      warm_margin: float = 1e-3,
+                      tiled=None, batch_size: int = None) -> SocpSolution:
     """Drop-in batched solver: c (B, NV), G (B, NR, NV), h (B, NR).
     ``warm``: optional (x, s, z) triple from a previous nearby solve.
     ``skip``: optional (B,) bool — members whose result the caller discards;
@@ -551,18 +563,30 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
     ``block`` is the lane-tile width (a multiple of 128; 1024 = 8 sublanes x
     128 lanes = one full vreg per scalar); it is clamped down to the
     128-padded batch so small batches never pay instruction issue for unused
-    lanes."""
-    B, nr, nv = G.shape
+    lanes.
+    ``tiled``: optional (cl, Gl, hl) operands ALREADY in the kernel's tile
+    layout ((nv, nt, 128) / (nv*nr, nt, 128) / (nr, nt, 128), batch padded
+    per :func:`tile_dims`), with ``batch_size`` the true batch B (static).
+    Built by the entry-wise assembly — skips the batch-to-lanes transpose
+    that otherwise dominates the constraint call (docs/PROFILE.md round-5c);
+    c/G/h are ignored (pass None)."""
+    if tiled is not None:
+        cl_t, Gl_t, hl_t = tiled
+        B = batch_size
+        nr = lay.nr
+        nv = cl_t.shape[-3]
+        dt = Gl_t.dtype
+    else:
+        B, nr, nv = G.shape
+        dt = G.dtype
     assert nr == lay.nr, (nr, lay)
     if skip is not None and warm is None:
         raise ValueError(
             "skip= requires warm=: a skipped member's output is its entry "
             "iterate, which is only meaningful as a previous converged "
             "solution, not the cold least-squares initializer")
-    dt = G.dtype
-    block = max(128, min(block, -(-B // 128) * 128))
+    block, Bp = tile_dims(B, block)
     SL = block // 128
-    Bp = max(block, -(-B // block) * block)
 
     def to_tiles(a):
         """(B, dims...) -> (prod(dims), Bp//128, 128): batch folded into
@@ -574,10 +598,15 @@ def solve_socp_pallas(c, G, h, lay: ConeLayout, *, tol: float = 1e-6,
                                 axis=-1)
         return a.reshape((-1, Bp // 128, 128))
 
-    # G: (B, nr, nv) -> rows (v, r) row-major to match the kernel's indexing
-    Gl = to_tiles(jnp.swapaxes(G, -1, -2))  # (nv*nr, Bp//128, 128)
-    hl, cl = to_tiles(h), to_tiles(c)
-    inputs = [Gl, hl, cl]
+    if tiled is not None:
+        assert Gl_t.shape[-3:] == (nv * nr, Bp // 128, 128), (
+            Gl_t.shape, nv, nr, Bp)
+        inputs = [Gl_t, hl_t, cl_t]
+    else:
+        # G: (B, nr, nv) -> rows (v, r) row-major (kernel indexing)
+        Gl = to_tiles(jnp.swapaxes(G, -1, -2))  # (nv*nr, Bp//128, 128)
+        hl, cl = to_tiles(h), to_tiles(c)
+        inputs = [Gl, hl, cl]
     kernel = _make_kernel(lay, nv, tol, max_iters, jitter,
                           use_warm=warm is not None,
                           use_skip=skip is not None,

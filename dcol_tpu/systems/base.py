@@ -172,9 +172,58 @@ class CollisionScene:
             out.append((jnp.stack(cs), jnp.stack(Gs), jnp.stack(hs)))
         return out
 
+    def assemble_groups_tiled(self, rs, ps, obs_r, obs_p):
+        """Per-group kernel-tile operands for a BATCH of robot poses
+        rs/ps (T, 3): list of ``(cl, Gl, hl, B)`` with
+        cl (nv, nt, 128), Gl (nv*nr, nt, 128), hl (nr, nt, 128) and
+        B = T * n_g the true batch (member order t*n_g + g, matching the
+        dense path's flatten).
+
+        Built ENTRY-WISE (assembly.assemble_pair_entries): every G/h entry
+        is one scalar over the pose batch, stacked straight into the tile
+        layout — no (B, nr, nv) dense intermediate and no batch-to-lanes
+        transpose (which dominates the dense path's constraint-call cost;
+        docs/PROFILE.md round-5c)."""
+        from dcol_tpu.ops.pdip_pallas import tile_dims
+
+        T = rs.shape[0]
+        dt = rs.dtype
+        out = []
+        for lay, idx in self.groups:
+            n_g = len(idx)
+            B = T * n_g
+            _, Bp = tile_dims(B, self.opts.block)
+            ents = [assembly.assemble_pair_entries(
+                self.robot, self.obstacles[i], self.member_layout(i),
+                rs, ps, obs_r[i], obs_p[i]) for i in idx]
+            nv = self.member_layout(idx[0]).nv
+            nr = self.member_layout(idx[0]).nr
+
+            def vals(get):
+                """(T, n_g) from one entry per group member."""
+                return jnp.stack(
+                    [jnp.broadcast_to(jnp.asarray(get(e), dt), (T,))
+                     for e in ents], axis=-1)
+
+            grows = [vals(lambda e, v=v, r=r: e[1][r][0][v])
+                     for v in range(nv) for r in range(nr)]
+            hrows = [vals(lambda e, r=r: e[1][r][1]) for r in range(nr)]
+            crows = [vals(lambda e, v=v: e[0][v]) for v in range(nv)]
+
+            def tile(rows):
+                a = jnp.stack(rows).reshape(len(rows), B)
+                pad = Bp - B
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.repeat(a[:, -1:], pad, axis=1)], axis=1)
+                return a.reshape(len(rows), Bp // 128, 128)
+
+            out.append((tile(crows), tile(grows), tile(hrows), B))
+        return out
+
     # -- solver dispatch --------------------------------------------------
     def _solve(self, c, G, h, lay: ConeLayout, warm=None, skip=None,
-               margin=None):
+               margin=None, tiled=None, batch_size=None):
         """Solve a flat batch of pair problems with the configured backend.
         c/G/h have one leading batch dim; ``warm`` is an optional (x, s, z)
         triple from a previous nearby solve; ``skip`` (bool, broadcastable to
@@ -189,7 +238,7 @@ class CollisionScene:
                 c, G, h, lay, tol=self.opts.tol,
                 max_iters=self.opts.max_iters, jitter=self.opts.jitter,
                 block=self.opts.block, warm=warm, skip=skip,
-                warm_margin=wm)
+                warm_margin=wm, tiled=tiled, batch_size=batch_size)
         return solve_socp(c, G, h, lay, tol=self.opts.tol,
                           max_iters=self.opts.max_iters,
                           jitter=self.opts.jitter, warm=warm, skip=skip,
@@ -202,17 +251,23 @@ class CollisionScene:
         warm tuple).  ``warm`` is the matching tuple from a previous call;
         ``skip`` is a scalar (or (T,)) bool marking discarded results."""
         T = rs.shape[0]
+        # NOTE: the entry-wise tile-layout assembly (assemble_groups_tiled +
+        # _solve(tiled=...)) was measured SLOWER end-to-end than this dense
+        # path (batch-64 208 -> 138 solves/s): inside the fused solve XLA
+        # already folds the batch-to-lanes transpose into the pallas operand
+        # copy, while the entry-wise build pays ~900 small stack ops per
+        # call.  Kept (tested) for future revisits; see docs/PROFILE.md.
         grouped = jax.vmap(
             lambda r_, p_: self.assemble_groups(r_, p_, obs_r, obs_p))(rs, ps)
         sols = []
         for gi, (lay, idx) in enumerate(self.groups):
-            c, G, h = grouped[gi]
             n_g = len(idx)
-            flat = lambda a: a.reshape((T * n_g,) + a.shape[2:])
             w = warm[gi] if warm is not None else None
             sk = (None if skip is None
                   else jnp.broadcast_to(
                       jnp.reshape(skip, (-1, 1)), (T, n_g)).reshape(T * n_g))
+            c, G, h = grouped[gi]
+            flat = lambda a: a.reshape((T * n_g,) + a.shape[2:])
             sols.append(self._solve(
                 flat(c), flat(G), flat(h),
                 ConeLayout(lay.n_ort, lay.s1, lay.s2), warm=w, skip=sk,

@@ -166,3 +166,47 @@ def test_ellipsoid_primitive():
     g = jax.grad(lambda r: proximity_alpha(ell2, obs, r, p1, r2, p2,
                                            tol=1e-10, max_iters=40))(jnp.asarray(r1))
     assert float(g[0]) < 0  # moving +x toward the obstacle reduces alpha
+
+
+def test_tiled_assembly_matches_dense():
+    """The entry-wise tile-layout assembly (assemble_groups_tiled — the
+    pallas hot path, docs/PROFILE.md round-5c) must reproduce the dense
+    assemble_groups + batch-to-lanes transpose to machine precision for all
+    three systems' scenes."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcol_tpu.ops.pdip_pallas import tile_dims
+    from dcol_tpu.systems import cone_through_wall, piano_mover, quadrotor
+
+    for mod in (quadrotor, piano_mover, cone_through_wall):
+        sys_, params, X0, U0, cfg = mod.make_problem(dtype=jnp.float64)
+        scene = sys_.scene
+        X = X0 + 0.01 * jnp.arange(sys_.N)[:, None]
+        rs, ps = jax.vmap(sys_.robot_pose)(X)
+        obs_r, obs_p = params["obs_r"], params["obs_p"]
+        T = rs.shape[0]
+        tiled = scene.assemble_groups_tiled(rs, ps, obs_r, obs_p)
+        dense = jax.vmap(
+            lambda r, p: scene.assemble_groups(r, p, obs_r, obs_p))(rs, ps)
+        for gi, (lay, idx) in enumerate(scene.groups):
+            c, G, h = dense[gi]
+            n_g = len(idx)
+            B = T * n_g
+            _, Bp = tile_dims(B, scene.opts.block)
+
+            def to_tiles(a):
+                a = jnp.moveaxis(a.reshape((B,) + a.shape[2:]), 0, -1)
+                pad = Bp - B
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.repeat(a[..., -1:], pad, -1)], -1)
+                return a.reshape((-1, Bp // 128, 128))
+
+            refs = (to_tiles(c), to_tiles(jnp.swapaxes(G, -1, -2)),
+                    to_tiles(h))
+            clt, Glt, hlt, B2 = tiled[gi]
+            assert B2 == B
+            for a, b in zip((clt, Glt, hlt), refs):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-13)
