@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(C, margin, polish=None, block=None, batch=64, phi=None, reps=3):
+def measure(C, margin, polish=None, block=None, batch=64, phi=None,
+            unroll=None, reps=3):
     from dcol_tpu.parallel.batch import perturb_scenarios, solve_batch
     from dcol_tpu.systems import quadrotor
 
@@ -31,8 +32,9 @@ def measure(C, margin, polish=None, block=None, batch=64, phi=None, reps=3):
         block=opts.block if block is None else block)
     sys_ = dataclasses.replace(
         sys_, scene=dataclasses.replace(sys_.scene, opts=opts))
-    cfg = dataclasses.replace(cfg, ls_parallel=C,
-                              phi=cfg.phi if phi is None else phi)
+    cfg = dataclasses.replace(
+        cfg, ls_parallel=C, phi=cfg.phi if phi is None else phi,
+        scan_unroll=cfg.scan_unroll if unroll is None else unroll)
 
     def fetch(st):
         return jax.device_get(jnp.stack(
@@ -42,7 +44,7 @@ def measure(C, margin, polish=None, block=None, batch=64, phi=None, reps=3):
     inputs = [perturb_scenarios(params, X0, U0, n=batch, seed=r + 1,
                                 x0_sigma=0.02) for r in range(reps + 1)]
     tag = (f"C={C} margin={margin} polish={polish} block={block} "
-           f"batch={batch} phi={phi}")
+           f"batch={batch} phi={phi} unroll={unroll}")
     t0 = time.time()
     pb, xb, ub = inputs[0]
     c0, mi0 = fetch(solve_batch(sys_, pb, cfg, xb, ub))
@@ -71,9 +73,10 @@ def main():
         polish = float(parts[2]) if len(parts) > 2 and parts[2] else None
         block = int(parts[3]) if len(parts) > 3 and parts[3] else None
         batch = int(parts[4]) if len(parts) > 4 and parts[4] else 64
-        phi = float(parts[5]) if len(parts) > 5 else None
+        phi = float(parts[5]) if len(parts) > 5 and parts[5] else None
+        unroll = int(parts[6]) if len(parts) > 6 else None
         out[s] = measure(C, m, polish=polish, block=block, batch=batch,
-                         phi=phi)
+                         phi=phi, unroll=unroll)
     print({k: round(v, 1) for k, v in out.items()}, flush=True)
 
 
